@@ -1,0 +1,155 @@
+"""Text frontend tests: vocabulary contract, pinyin G2P rules, cleaner dispatch,
+NSW normalization golden strings (corpus inspired by reference text/cleaner.py:68-83)."""
+
+import pytest
+
+from vispeech_tpu.text import cleaned_text_to_sequence, symbols as sym_list
+from vispeech_tpu.text.cleaner import text_to_phones, text_to_sequence
+from vispeech_tpu.text.normalization import (
+    TextNormalizer,
+    num2str,
+    verbalize_cardinal,
+    verbalize_digits,
+)
+from vispeech_tpu.text.pinyin import pinyin_syllable_to_phones, pinyin_to_phonemes
+from vispeech_tpu.text.symbols import (
+    N_SYMBOLS,
+    SYMBOL_TO_ID,
+    en_symbols,
+    ja_symbols,
+    pu_symbols,
+    symbols,
+    zh_symbols,
+)
+
+
+class TestSymbols:
+    def test_inventory_sizes(self):
+        # contract: 519 symbols = pad + 401 zh + 42 ja + 69 en + 6 punct
+        assert len(symbols) == 519 == N_SYMBOLS
+        assert len(zh_symbols) == 401
+        assert len(ja_symbols) == 42
+        assert len(en_symbols) == 69
+        assert len(pu_symbols) == 6
+
+    def test_layout(self):
+        assert symbols[0] == "_"
+        assert symbols[1 : 1 + 401] == zh_symbols
+        assert symbols[-6:] == pu_symbols
+        # zh block is lexicographically sorted (generation invariant)
+        assert zh_symbols == sorted(zh_symbols)
+
+    def test_spot_ids(self):
+        assert SYMBOL_TO_ID["_"] == 0
+        assert "iaor3" in SYMBOL_TO_ID and "vnr5" in SYMBOL_TO_ID
+        assert "pau" in SYMBOL_TO_ID and "AA0" in SYMBOL_TO_ID
+        assert len(set(symbols)) == len(symbols)  # no duplicates
+
+    def test_roundtrip(self):
+        ids = cleaned_text_to_sequence(["n", "i3", "h", "ao3", "sp"])
+        assert [sym_list[i] for i in ids] == ["n", "i3", "h", "ao3", "sp"]
+
+
+class TestPinyin:
+    @pytest.mark.parametrize(
+        "syl,phones",
+        [
+            ("zhuang1", ["zh", "uang1"]),
+            ("jun4", ["j", "vn4"]),
+            ("qu2", ["q", "v2"]),
+            ("liu2", ["l", "iou2"]),
+            ("dui4", ["d", "uei4"]),
+            ("dun4", ["d", "uen4"]),
+            ("zhi1", ["zh", "iii1"]),
+            ("zi1", ["z", "ii1"]),
+            ("ri4", ["r", "iii4"]),
+            ("er2", ["er2"]),
+            ("yi1", ["i1"]),
+            ("yuan2", ["van2"]),
+            ("weng1", ["ueng1"]),
+            ("dianr3", ["d", "ianr3"]),
+            ("huir4", ["h", "ueir4"]),
+            ("yingr1", ["ingr1"]),
+            ("nv3", ["n", "v3"]),
+            ("lüe4", ["l", "ve4"]),
+        ],
+    )
+    def test_syllables(self, syl, phones):
+        assert pinyin_syllable_to_phones(syl) == phones
+
+    def test_all_phones_in_vocab(self):
+        # every phone our converter can emit for common syllables is in vocab
+        for syl in ["ni3", "hao3", "shi4", "jie4", "zhongr1", "huar4"]:
+            for ph in pinyin_syllable_to_phones(syl):
+                assert ph in SYMBOL_TO_ID, ph
+
+    def test_unknown_skipped(self):
+        assert pinyin_to_phonemes("blarg9 ni3") == ["n", "i3"]
+
+
+class TestCleaner:
+    def test_pinyin_block(self):
+        assert text_to_phones("[P]pin1 yin1 zhen1 hao3 wan2[P]") == [
+            "p", "in1", "in1", "zh", "en1", "h", "ao3", "uan2",
+        ]
+
+    def test_punctuation_mapping(self):
+        phones = text_to_phones("[P]ni3 hao3[P]！")
+        assert phones[-1] == "!"
+        phones = text_to_phones("[P]ni3[P]。")
+        assert phones[-1] == "."
+
+    def test_dash_alias_and_invalid_dropped(self):
+        # '—' maps to '-' which aliases to 'sp'; unknown symbols dropped
+        phones = text_to_phones("[P]ni3[P]—")
+        assert phones == ["n", "i3", "sp"]
+
+    def test_sequence_ids_valid(self):
+        seq = text_to_sequence("[P]ni3 hao3 shi4 jie4[P]!")
+        assert all(0 <= i < N_SYMBOLS for i in seq)
+        assert len(seq) == 9
+
+    def test_ellipsis(self):
+        assert text_to_phones("[P]ni3[P]...")[-1] == "…"
+
+
+class TestNormalization:
+    def test_cardinals(self):
+        assert verbalize_cardinal("0") == "零"
+        assert verbalize_cardinal("000") == "零"
+        assert verbalize_cardinal("15") == "十五"
+        assert verbalize_cardinal("105") == "一百零五"
+        assert verbalize_cardinal("1305") == "一千三百零五"
+        assert verbalize_cardinal("10005") == "一万零五"
+        assert verbalize_cardinal("123456789") == "一亿二千三百四十五万六千七百八十九"
+
+    def test_num2str(self):
+        assert num2str("3.20") == "三点二"
+        assert num2str(".22") == "零点二二"
+        assert num2str("0.5") == "零点五"
+
+    def test_digits(self):
+        assert verbalize_digits("2021") == "二零二一"
+        assert verbalize_digits("110", alt_one=True) == "幺幺零"
+
+    @pytest.mark.parametrize(
+        "text,expected",
+        [
+            ("2021年5月4日", "二零二一年五月四日"),
+            ("下午1:30", "下午一点半"),
+            ("温度-3°C", "温度零下三度"),
+            ("涨了3/4", "涨了四分之三"),
+            ("百分比50%", "百分比百分之五十"),
+            ("3~5个", "三到五个"),
+            ("13812345678", "幺三八幺二三四五六七八"),
+            ("全角１２３", "一百二十三"),
+        ],
+    )
+    def test_nsw(self, text, expected):
+        out = "".join(TextNormalizer().normalize(text))
+        assert expected in out, out
+
+    def test_sentence_split(self):
+        tn = TextNormalizer()
+        sents = tn.split("你好，世界。再见！")
+        assert sents == ["你好，", "世界。", "再见！"]
