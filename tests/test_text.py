@@ -142,7 +142,10 @@ class TestNormalization:
             ("百分比50%", "百分比百分之五十"),
             ("3~5个", "三到五个"),
             ("13812345678", "幺三八幺二三四五六七八"),
-            ("全角１２３", "一百二十三"),
+            # 3+ digit bare sequences read digit-by-digit (RE_DEFAULT_NUM),
+            # full-width digits normalized first
+            ("全角１２３", "一二三"),
+            ("编号00078", "零零零七八"),
         ],
     )
     def test_nsw(self, text, expected):
