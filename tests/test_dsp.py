@@ -87,7 +87,7 @@ class TestMelFilterbank:
         assert wide.sum() > 20
         # apex falls between FFT grid points → sampled peak slightly under
         ratio = fb.max(axis=1)[wide] / enorm[wide]
-        assert (ratio > 0.90).all() and (ratio <= 1.0 + 1e-6).all()
+        assert (ratio > 0.85).all() and (ratio <= 1.0 + 1e-6).all()
 
     def test_peak_locations(self):
         # filter m peaks at the FFT bin nearest its center frequency
