@@ -1,0 +1,54 @@
+"""HiFi-GAN-style upsampling vocoder (reference models.py:244-297).
+
+conv_pre k7 → [leaky(0.1) → weight-norm ConvTranspose (rates 8,8,4,2) → MRF
+(3 ResBlock1, kernels 3/7/11, dil 1/3/5, averaged)] ×4 → leaky(0.01 — torch's
+default slope at models.py:286) → conv_post k7 (no bias) → tanh.
+Speaker conditioning added after conv_pre.  512× total upsampling = hop length.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vispeech_tpu.ops.layers import Conv1d, WNConvTranspose1d
+from vispeech_tpu.ops.resblock import ResBlock1, ResBlock2, leaky_relu
+
+Array = jax.Array
+
+
+class Generator(nn.Module):
+    resblock: str = "1"
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    upsample_rates: Tuple[int, ...] = (8, 8, 4, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, x: Array, g: Optional[Array] = None) -> Array:
+        num_kernels = len(self.resblock_kernel_sizes)
+        block = ResBlock1 if self.resblock == "1" else ResBlock2
+
+        x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
+        if g is not None and self.gin_channels:
+            x = x + Conv1d(self.upsample_initial_channel, 1, name="cond")(g)
+
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = leaky_relu(x)
+            x = WNConvTranspose1d(ch, k, u, name=f"up_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                y = block(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+        x = leaky_relu(x, 0.01)  # torch F.leaky_relu default (models.py:286)
+        x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
+        return jnp.tanh(x)  # [B, T*prod(rates), 1]

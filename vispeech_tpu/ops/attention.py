@@ -1,0 +1,232 @@
+"""Relative-position multi-head attention and the post-norm conv-FFN
+transformer encoder used at phoneme and frame resolution.
+
+Behavioral contract (reference attentions.py:13-99, 101-254):
+  * window_size=4 shared relative key/value embeddings (heads_share)
+  * relative logits folded into absolute position via the standard
+    pad-reshape skew, masked fill −1e4, softmax, relative-value correction
+  * encoder blocks are post-norm: x = LN(x + Attn(x)); x = LN(x + FFN(x))
+  * FFN is a masked k-wide conv → relu → conv with asymmetric SAME padding
+
+TPU notes: QK/AV contractions are batched matmuls on the MXU; the relative
+terms use gathers of a [2w+1, d] table broadcast over heads.  Sequences are
+bucket-padded so shapes stay static.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vispeech_tpu.ops.layers import Conv1d, LayerNorm
+
+Array = jax.Array
+
+
+def xavier_uniform_conv1x1(key, shape, dtype=jnp.float32):
+    """Matches torch xavier_uniform_ on a 1×1 conv weight [cout, cin, 1]."""
+    _, cin, cout = shape
+    bound = math.sqrt(6.0 / (cin + cout))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _pad_rel_embeddings(rel: Array, length: int, window_size: int) -> Array:
+    """Slice/pad the [2w+1, d] table to [2L−1, d] (reference attentions.py:199-212)."""
+    pad = max(length - (window_size + 1), 0)
+    start = max((window_size + 1) - length, 0)
+    if pad > 0:
+        rel = jnp.pad(rel, ((pad, pad), (0, 0)))
+    return jax.lax.dynamic_slice_in_dim(rel, start, 2 * length - 1, axis=0)
+
+
+def _relative_to_absolute(x: Array) -> Array:
+    """[B, H, L, 2L−1] → [B, H, L, L] via the pad-reshape skew
+    (reference attentions.py:214-229)."""
+    b, h, l, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x = x.reshape(b, h, l * 2 * l)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, l - 1)))
+    x = x.reshape(b, h, l + 1, 2 * l - 1)
+    return x[:, :, :l, l - 1 :]
+
+
+def _absolute_to_relative(x: Array) -> Array:
+    """[B, H, L, L] → [B, H, L, 2L−1] (reference attentions.py:231-243)."""
+    b, h, l, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, l - 1)))
+    x = x.reshape(b, h, l * l + l * (l - 1))
+    x = jnp.pad(x, ((0, 0), (0, 0), (l, 0)))
+    x = x.reshape(b, h, l, 2 * l)
+    return x[:, :, :, 1:]
+
+
+class MultiHeadAttention(nn.Module):
+    """Self/cross attention with optional windowed relative embeddings."""
+
+    channels: int
+    out_channels: int
+    n_heads: int
+    p_dropout: float = 0.0
+    window_size: Optional[int] = None
+    heads_share: bool = True
+    proximal_bias: bool = False
+    block_length: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        c: Array,
+        attn_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        # x, c: [B, T, C]; attn_mask: [B, 1, T_t, T_s] or broadcastable
+        d_k = self.channels // self.n_heads
+        q = Conv1d(self.channels, 1, kernel_init=xavier_uniform_conv1x1, name="conv_q")(x)
+        k = Conv1d(self.channels, 1, kernel_init=xavier_uniform_conv1x1, name="conv_k")(c)
+        v = Conv1d(self.channels, 1, kernel_init=xavier_uniform_conv1x1, name="conv_v")(c)
+
+        B, T_t, _ = q.shape
+        T_s = k.shape[1]
+        # [B, H, T, d]
+        qh = q.reshape(B, T_t, self.n_heads, d_k).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, T_s, self.n_heads, d_k).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, T_s, self.n_heads, d_k).transpose(0, 2, 1, 3)
+
+        scale = 1.0 / math.sqrt(d_k)
+        scores = jnp.einsum(
+            "bhtd,bhsd->bhts", qh * scale, kh, precision=jax.lax.Precision.HIGHEST
+        )
+
+        if self.window_size is not None:
+            assert T_s == T_t, "relative attention requires self-attention"
+            n_rel = 1 if self.heads_share else self.n_heads
+            rel_k = self.param(
+                "emb_rel_k",
+                lambda key, shape: jax.random.normal(key, shape) * (d_k ** -0.5),
+                (n_rel, 2 * self.window_size + 1, d_k),
+            )
+            rel_v = self.param(
+                "emb_rel_v",
+                lambda key, shape: jax.random.normal(key, shape) * (d_k ** -0.5),
+                (n_rel, 2 * self.window_size + 1, d_k),
+            )
+            rk = jax.vmap(lambda r: _pad_rel_embeddings(r, T_t, self.window_size))(rel_k)
+            # [B, H, T, 2T−1] = q · rel_kᵀ
+            rel_logits = jnp.einsum(
+                "bhtd,hmd->bhtm", qh * scale, rk.astype(qh.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            scores = scores + _relative_to_absolute(rel_logits)
+
+        if self.proximal_bias:
+            r = jnp.arange(T_s, dtype=jnp.float32)
+            diff = r[None, :] - r[:, None]
+            scores = scores + (-jnp.log1p(jnp.abs(diff)))[None, None]
+
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask == 0, -1e4, scores)
+            if self.block_length is not None:
+                t = jnp.arange(T_s)
+                band = (jnp.abs(t[None, :] - t[:, None]) <= self.block_length)
+                scores = jnp.where(band[None, None], scores, -1e4)
+
+        p_attn = jax.nn.softmax(scores, axis=-1)
+        p_attn = nn.Dropout(self.p_dropout)(p_attn, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhts,bhsd->bhtd", p_attn, vh, precision=jax.lax.Precision.HIGHEST
+        )
+
+        if self.window_size is not None:
+            rel_weights = _absolute_to_relative(p_attn)  # [B, H, T, 2T−1]
+            rv = jax.vmap(lambda r: _pad_rel_embeddings(r, T_t, self.window_size))(rel_v)
+            out = out + jnp.einsum(
+                "bhtm,hmd->bhtd", rel_weights, rv.astype(out.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, T_t, self.channels)
+        return Conv1d(
+            self.out_channels, 1, kernel_init=xavier_uniform_conv1x1, name="conv_o"
+        )(out)
+
+
+class FFN(nn.Module):
+    """Masked conv-FFN (reference attentions.py:257-303)."""
+
+    out_channels: int
+    filter_channels: int
+    kernel_size: int
+    p_dropout: float = 0.0
+    activation: Optional[str] = None
+    causal: bool = False
+
+    def _pad(self, x: Array) -> Array:
+        if self.kernel_size == 1:
+            return x
+        if self.causal:
+            return jnp.pad(x, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
+        left = (self.kernel_size - 1) // 2
+        right = self.kernel_size // 2
+        return jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+
+    @nn.compact
+    def __call__(self, x: Array, x_mask: Array, deterministic: bool = True) -> Array:
+        y = Conv1d(self.filter_channels, self.kernel_size, padding=(0, 0), name="conv_1")(
+            self._pad(x * x_mask)
+        )
+        if self.activation == "gelu":
+            y = y * jax.nn.sigmoid(1.702 * y)
+        else:
+            y = jax.nn.relu(y)
+        y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+        y = Conv1d(self.out_channels, self.kernel_size, padding=(0, 0), name="conv_2")(
+            self._pad(y * x_mask)
+        )
+        return y * x_mask
+
+
+class Encoder(nn.Module):
+    """Post-norm transformer encoder with windowed relative attention
+    (reference attentions.py:13-47)."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+    window_size: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array, x_mask: Array, deterministic: bool = True) -> Array:
+        # [B, 1, T, T]: outer product of the mask with itself
+        m = x_mask[:, :, 0]  # [B, T]
+        attn_mask = m[:, None, :, None] * m[:, None, None, :]
+        x = x * x_mask
+        for i in range(self.n_layers):
+            y = MultiHeadAttention(
+                self.hidden_channels,
+                self.hidden_channels,
+                self.n_heads,
+                p_dropout=self.p_dropout,
+                window_size=self.window_size,
+                name=f"attn_{i}",
+            )(x, x, attn_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(name=f"norm1_{i}")(x + y)
+
+            y = FFN(
+                self.hidden_channels,
+                self.filter_channels,
+                self.kernel_size,
+                p_dropout=self.p_dropout,
+                name=f"ffn_{i}",
+            )(x, x_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(name=f"norm2_{i}")(x + y)
+        return x * x_mask
