@@ -1,0 +1,328 @@
+"""Filelist dataset, length-bucketed batching, and host prefetch.
+
+Behavioral contract from the reference (data_utils.py:16-318):
+  * filelist line: ``spk|id|phones|durations|f0|energy`` (space-separated
+    fields), wavs at ``dataset/{spk}/{id}.wav`` (44.1 kHz, 16-bit)
+  * utterances longer than 1400 frames are dropped (data_utils.py:52-56)
+  * linear spectrograms are computed once and cached next to the wav
+    (``.spec.npy`` here vs the reference's ``.spec.pt``, data_utils.py:113-124)
+  * spec/wav are padded/cropped to exactly Σduration frames (within a
+    2-frame tolerance assert, data_utils.py:78-91)
+  * epoch-seeded shuffling, rank-strided sharding, and wrap-to-multiple
+    batching reproduce DistributedBucketSampler (data_utils.py:219-318)
+
+TPU-first redesign: batches are padded to *bucketed static shapes* — frame
+length rounds up to a bucket boundary and phoneme length to a fixed multiple —
+so XLA compiles a bounded number of programs instead of one per shape
+(SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from bisect import bisect_left
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vispeech_tpu.config import DataConfig
+from vispeech_tpu.dsp.stft import _dft_matrix
+from vispeech_tpu.text import cleaned_text_to_sequence
+
+MAX_FRAMES = 1400  # reference data_utils.py:54
+
+# frame-length bucket upper bounds (reference train.py:71 boundaries)
+DEFAULT_BUCKETS = (64, 128, 256, 384, 512, 640, 768, 896, 1024, 1152, 1280, 1400)
+PHONEME_PAD_MULTIPLE = 32
+
+
+@dataclass
+class Utterance:
+    wav_path: str
+    speaker: str
+    utt_id: str
+    sid: int
+    phonemes: np.ndarray  # [N] int32
+    duration: np.ndarray  # [N] int32
+    f0: np.ndarray        # [N] float32
+    energy: np.ndarray    # [N] float32
+    n_frames: int
+
+
+def parse_filelist_line(line: str, spk2id) -> Optional[Tuple]:
+    parts = line.rstrip("\n").split("|")
+    if len(parts) != 6:
+        return None
+    spk, utt_id, phones, durs, f0, energy = parts
+    return spk, utt_id, phones, durs, f0, energy
+
+
+def numpy_spectrogram(
+    audio: np.ndarray, n_fft: int, hop: int, win: int
+) -> np.ndarray:
+    """Host-side linear spectrogram, same semantics as dsp.spectrogram
+    (reflect pad (n_fft−hop)/2, hann, √(|X|²+1e-6)) → [T, n_bins] float32."""
+    pad = (n_fft - hop) // 2
+    y = np.pad(audio.astype(np.float64), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = y[idx]
+    dft = _dft_matrix(n_fft, win).astype(np.float64)
+    spec = frames @ dft
+    n_bins = n_fft // 2 + 1
+    re, im = spec[:, :n_bins], spec[:, n_bins:]
+    return np.sqrt(re * re + im * im + 1e-6).astype(np.float32)
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    return data, sr
+
+
+class FilelistDataset:
+    """Parses the filelist, lazily loads wav+spec per utterance."""
+
+    def __init__(
+        self,
+        filelist_path: str,
+        cfg: DataConfig,
+        data_root: str = "dataset",
+        cache_spec: bool = True,
+        max_frames: int = MAX_FRAMES,
+    ):
+        self.cfg = cfg
+        self.data_root = data_root
+        self.cache_spec = cache_spec
+        spk2id = dict(cfg.spk2id)
+        self.utterances: List[Utterance] = []
+        with open(filelist_path, "r", encoding="utf-8") as f:
+            for line in f:
+                parsed = parse_filelist_line(line, spk2id)
+                if parsed is None:
+                    continue
+                spk, utt_id, phones, durs, f0, energy = parsed
+                duration = np.array([int(i) for i in durs.split(" ")], np.int32)
+                n_frames = int(duration.sum())
+                if n_frames > max_frames:
+                    continue
+                self.utterances.append(
+                    Utterance(
+                        wav_path=os.path.join(self.data_root, spk, f"{utt_id}.wav"),
+                        speaker=spk,
+                        utt_id=utt_id,
+                        sid=spk2id.get(spk, 0),
+                        phonemes=np.array(
+                            cleaned_text_to_sequence(phones.split(" ")), np.int32
+                        ),
+                        duration=duration,
+                        f0=np.array([float(i) for i in f0.split(" ")], np.float32),
+                        energy=np.array([float(i) for i in energy.split(" ")], np.float32),
+                        n_frames=n_frames,
+                    )
+                )
+
+    def __len__(self) -> int:
+        return len(self.utterances)
+
+    @property
+    def lengths(self) -> List[int]:
+        return [u.n_frames for u in self.utterances]
+
+    def load_audio(self, utt: Utterance) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (spec [T, n_bins], wav [T*hop]) cropped/padded to Σdur."""
+        cfg = self.cfg
+        data, sr = load_wav(utt.wav_path)
+        if sr != cfg.sampling_rate:
+            raise ValueError(f"{utt.wav_path}: {sr} != {cfg.sampling_rate}")
+        audio = data.astype(np.float32) / cfg.max_wav_value
+
+        spec_path = utt.wav_path.replace(".wav", ".spec.npy")
+        spec = None
+        if self.cache_spec and os.path.exists(spec_path):
+            try:
+                spec = np.load(spec_path)
+            except Exception:
+                spec = None
+        if spec is None:
+            spec = numpy_spectrogram(
+                audio, cfg.filter_length, cfg.hop_length, cfg.win_length
+            )
+            if self.cache_spec:
+                try:
+                    np.save(spec_path, spec)
+                except OSError:
+                    pass
+
+        sumdur = utt.n_frames
+        assert abs(spec.shape[0] - sumdur) < 2, utt.wav_path
+        hop = cfg.hop_length
+        if spec.shape[0] > sumdur:
+            spec = spec[:sumdur]
+            audio = audio[: sumdur * hop]
+        elif spec.shape[0] < sumdur:
+            spec = np.pad(spec, ((0, sumdur - spec.shape[0]), (0, 0)))
+        if len(audio) < sumdur * hop:
+            audio = np.pad(audio, (0, sumdur * hop - len(audio)))
+        else:
+            audio = audio[: sumdur * hop]
+        return spec, audio
+
+
+class BucketSampler:
+    """Length-bucketed, epoch-seeded, rank-strided batch sampler.
+
+    Reproduces DistributedBucketSampler semantics (data_utils.py:219-318):
+    each bucket's index list is padded by wrapping so every rank gets the
+    same number of whole batches; shuffling is deterministic in (seed, epoch).
+    """
+
+    def __init__(
+        self,
+        lengths: Sequence[int],
+        batch_size: int,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        num_replicas: int = 1,
+        rank: int = 0,
+        shuffle: bool = True,
+        seed: int = 1234,
+    ):
+        self.batch_size = batch_size
+        self.buckets = list(buckets)
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.bucket_indices: List[List[int]] = [[] for _ in self.buckets]
+        for i, length in enumerate(lengths):
+            b = bisect_left(self.buckets, length)
+            if b < len(self.buckets):
+                self.bucket_indices[b].append(i)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Tuple[int, List[int]]]:
+        """Yields (bucket_id, indices) batches for this rank."""
+        g = np.random.RandomState(self.seed + self.epoch)
+        per_step = self.batch_size * self.num_replicas
+        all_batches = []
+        for b, idxs in enumerate(self.bucket_indices):
+            if not idxs:
+                continue
+            idxs = list(idxs)
+            if self.shuffle:
+                idxs = [idxs[i] for i in g.permutation(len(idxs))]
+            rem = (-len(idxs)) % per_step
+            idxs = idxs + idxs[: rem]  # wrap to a multiple (reference behavior)
+            mine = idxs[self.rank :: self.num_replicas]
+            for s in range(0, len(mine), self.batch_size):
+                all_batches.append((b, mine[s : s + self.batch_size]))
+        if self.shuffle:
+            order = g.permutation(len(all_batches))
+            all_batches = [all_batches[i] for i in order]
+        return iter(all_batches)
+
+    def __len__(self) -> int:
+        per_step = self.batch_size * self.num_replicas
+        total = 0
+        for idxs in self.bucket_indices:
+            if idxs:
+                padded = len(idxs) + ((-len(idxs)) % per_step)
+                total += padded // per_step
+        return total
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def collate(
+    dataset: FilelistDataset,
+    indices: Sequence[int],
+    frame_budget: int,
+    phoneme_pad_multiple: int = PHONEME_PAD_MULTIPLE,
+):
+    """Assemble one padded batch with static shapes.
+
+    Frames pad to `frame_budget` (the bucket bound), phonemes to the next
+    multiple of `phoneme_pad_multiple` — bounded compile count.
+    Returns a dict of numpy arrays matching train.step.Batch fields.
+    """
+    cfg = dataset.cfg
+    utts = [dataset.utterances[i] for i in indices]
+    B = len(utts)
+    n_ph = _round_up(max(len(u.phonemes) for u in utts), phoneme_pad_multiple)
+    T = frame_budget
+    hop = cfg.hop_length
+
+    phonemes = np.zeros((B, n_ph), np.int32)
+    f0 = np.zeros((B, n_ph), np.float32)
+    energy = np.zeros((B, n_ph), np.float32)
+    duration = np.zeros((B, n_ph), np.int32)
+    ph_lengths = np.zeros(B, np.int32)
+    spec = np.zeros((B, T, cfg.spec_channels), np.float32)
+    wav = np.zeros((B, T * hop, 1), np.float32)
+    spec_lengths = np.zeros(B, np.int32)
+    wav_lengths = np.zeros(B, np.int32)
+    sid = np.zeros(B, np.int32)
+
+    for i, u in enumerate(utts):
+        n = len(u.phonemes)
+        phonemes[i, :n] = u.phonemes
+        f0[i, :n] = u.f0
+        energy[i, :n] = u.energy
+        duration[i, :n] = u.duration
+        ph_lengths[i] = n
+        s, a = dataset.load_audio(u)
+        t = s.shape[0]
+        spec[i, :t] = s
+        wav[i, : t * hop, 0] = a
+        spec_lengths[i] = t
+        wav_lengths[i] = t * hop
+        sid[i] = u.sid
+
+    return dict(
+        phonemes=phonemes,
+        phoneme_lengths=ph_lengths,
+        f0=f0,
+        energy=energy,
+        duration=duration,
+        spec=spec,
+        spec_lengths=spec_lengths,
+        wav=wav,
+        wav_lengths=wav_lengths,
+        sid=sid,
+    )
+
+
+def data_loader(
+    dataset: FilelistDataset,
+    sampler: BucketSampler,
+    epoch: int,
+    prefetch: int = 4,
+) -> Iterator[dict]:
+    """Background-thread prefetching iterator over collated numpy batches."""
+    sampler.set_epoch(epoch)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    sentinel = object()
+
+    def worker():
+        try:
+            for bucket_id, indices in sampler:
+                q.put(collate(dataset, indices, sampler.buckets[bucket_id]))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item

@@ -1,0 +1,232 @@
+"""Jittable GAN training step (reference train.py:139-266 redesigned for TPU).
+
+One step = D update on the detached generator output, then G update against
+the *updated* discriminator — the reference's exact ordering (train.py:195-225:
+optim_d.step() happens before the second net_d call).  The generator forward
+runs once untracked for the D step and once inside the G gradient with the
+same RNGs, so both see identical samples/slices.
+
+bf16 policy: when enabled, batch activations are cast to bfloat16 for the
+heavy compute while losses stay float32 (the reference's fp16 autocast +
+fp32-loss arrangement, train.py:168-218); there is no GradScaler — bf16 has
+fp32 range.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vispeech_tpu.config import Config
+from vispeech_tpu.dsp import mel_spectrogram, spec_to_mel
+from vispeech_tpu.models import MultiPeriodDiscriminator, Synthesizer
+from vispeech_tpu.ops.masking import grad_global_norm, slice_segments
+from vispeech_tpu.train import losses as L
+
+Array = jax.Array
+
+
+class Batch(NamedTuple):
+    """One padded training batch (data layout: [B, ...], time-major)."""
+
+    phonemes: Array         # [B, N] int32
+    phoneme_lengths: Array  # [B]
+    f0: Array               # [B, N] Hz
+    energy: Array           # [B, N]
+    duration: Array         # [B, N] frames
+    spec: Array             # [B, T, spec_channels]
+    spec_lengths: Array     # [B]
+    wav: Array              # [B, T*hop, 1]
+    wav_lengths: Array      # [B]
+    sid: Array              # [B]
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params_g: Any
+    params_d: Any
+    opt_state_g: Any
+    opt_state_d: Any
+    rng: Array
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    """AdamW β=(0.8,0.99), eps 1e-9, wd 0.01 (torch default), per-epoch
+    exponential decay γ=0.999875 (reference train.py:95-104,121-122)."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return cfg.train.learning_rate * (cfg.train.lr_decay ** epoch)
+
+    return optax.adamw(
+        learning_rate=schedule,
+        b1=cfg.train.betas[0],
+        b2=cfg.train.betas[1],
+        eps=cfg.train.eps,
+        weight_decay=0.01,
+    )
+
+
+def create_train_state(
+    cfg: Config,
+    rng: jax.Array,
+    n_vocab: int,
+    batch: Batch,
+    steps_per_epoch: int = 1000,
+) -> Tuple[TrainState, Synthesizer, MultiPeriodDiscriminator]:
+    model_g = Synthesizer.from_config(cfg, n_vocab)
+    model_d = MultiPeriodDiscriminator()
+    rng, init_g, init_d, sample, dropout = jax.random.split(rng, 5)
+    params_g = model_g.init(
+        {"params": init_g, "sample": sample, "dropout": dropout},
+        batch.phonemes, batch.phoneme_lengths, batch.f0, batch.energy,
+        batch.duration, batch.spec, batch.spec_lengths, batch.sid,
+        deterministic=True,
+    )
+    seg = cfg.train.segment_size
+    dummy_wav = jnp.zeros((batch.wav.shape[0], seg, 1), batch.wav.dtype)
+    params_d = model_d.init(init_d, dummy_wav, dummy_wav)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=params_g,
+        params_d=params_d,
+        opt_state_g=tx.init(params_g["params"]),
+        opt_state_d=tx.init(params_d["params"]),
+        rng=rng,
+    )
+    return state, model_g, model_d
+
+
+def make_train_step(
+    cfg: Config,
+    model_g: Synthesizer,
+    model_d: MultiPeriodDiscriminator,
+    steps_per_epoch: int = 1000,
+):
+    """Returns train_step(state, batch) -> (state, metrics), ready to jit/pjit."""
+    tx = make_optimizer(cfg, steps_per_epoch)
+    d = cfg.data
+    seg_frames = cfg.train.segment_size // d.hop_length
+    compute_dtype = jnp.bfloat16 if cfg.train.fp16_run else jnp.float32
+
+    def g_forward(params_g, batch: Batch, rngs):
+        return model_g.apply(
+            params_g,
+            batch.phonemes, batch.phoneme_lengths, batch.f0, batch.energy,
+            batch.duration, batch.spec, batch.spec_lengths, batch.sid,
+            deterministic=False,
+            rngs=rngs,
+        )
+
+    def mel_of(spec):
+        return spec_to_mel(spec, d.filter_length, d.n_mel_channels,
+                           d.sampling_rate, d.mel_fmin, d.mel_fmax)
+
+    def mel_of_wav(y):
+        return mel_spectrogram(
+            y[..., 0], d.filter_length, d.n_mel_channels, d.sampling_rate,
+            d.hop_length, d.win_length, d.mel_fmin, d.mel_fmax,
+        )
+
+    def train_step(state: TrainState, batch: Batch):
+        rng, step_rng = jax.random.split(state.rng)
+        rngs = {
+            "sample": jax.random.fold_in(step_rng, 0),
+            "dropout": jax.random.fold_in(step_rng, 1),
+        }
+
+        # -------- generator forward (untracked) for the D update --------
+        out = g_forward(state.params_g, batch, rngs)
+        y_hat = jax.lax.stop_gradient(out[0])
+        ids_slice = out[4]
+
+        wav_slice = slice_segments(
+            batch.wav, ids_slice * d.hop_length, cfg.train.segment_size
+        )
+
+        def d_loss_fn(dparams):
+            logits_r, logits_g, _, _ = model_d.apply(
+                {"params": dparams}, wav_slice.astype(compute_dtype),
+                y_hat.astype(compute_dtype),
+            )
+            loss_disc, r_losses, g_losses = L.discriminator_loss(logits_r, logits_g)
+            return loss_disc, (r_losses, g_losses)
+
+        (loss_disc, _), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.params_d["params"]
+        )
+        grad_norm_d = grad_global_norm(d_grads)
+        d_updates, opt_state_d = tx.update(
+            d_grads, state.opt_state_d, state.params_d["params"]
+        )
+        new_params_d = {
+            "params": optax.apply_updates(state.params_d["params"], d_updates)
+        }
+
+        # -------- generator update against the updated D --------
+        mel = mel_of(batch.spec)
+
+        def g_loss_fn(gparams):
+            out = g_forward({"params": gparams["params"]}, batch, rngs)
+            (y_hat, l_length, l_pitch, l_energy, ids_slice, x_mask, y_mask,
+             latents, pred_f0, pred_ne, ne) = out
+            z, z_p, m_p, logs_p, m_q, logs_q = latents
+
+            y_mel = slice_segments(mel, ids_slice, seg_frames)
+            y_hat_mel = mel_of_wav(y_hat.astype(jnp.float32))
+
+            _, logits_g, fmap_r, fmap_g = model_d.apply(
+                new_params_d, wav_slice.astype(compute_dtype),
+                y_hat.astype(compute_dtype),
+            )
+            loss_dur = l_length.astype(jnp.float32)
+            loss_pitch = l_pitch.astype(jnp.float32)
+            loss_energy = l_energy.astype(jnp.float32)
+            loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * cfg.train.c_mel
+            loss_kl = L.kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * cfg.train.c_kl
+            loss_fm = L.feature_loss(fmap_r, fmap_g)
+            loss_gen, _ = L.generator_loss(logits_g)
+            total = (loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
+                     + loss_pitch + loss_energy)
+            aux = {
+                "loss/g/total": total, "loss/g/gen": loss_gen, "loss/g/fm": loss_fm,
+                "loss/g/mel": loss_mel, "loss/g/dur": loss_dur, "loss/g/kl": loss_kl,
+                "loss/g/pitch": loss_pitch, "loss/g/energy": loss_energy,
+            }
+            return total, aux
+
+        (loss_gen_all, g_metrics), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.params_g)
+        g_grads = g_grads["params"]
+        grad_norm_g = grad_global_norm(g_grads)
+        g_updates, opt_state_g = tx.update(
+            g_grads, state.opt_state_g, state.params_g["params"]
+        )
+        new_params_g = {
+            "params": optax.apply_updates(state.params_g["params"], g_updates)
+        }
+
+        metrics = dict(g_metrics)
+        metrics.update({
+            "loss/d/total": loss_disc,
+            "grad_norm_d": grad_norm_d,
+            "grad_norm_g": grad_norm_g,
+        })
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=new_params_g,
+            params_d=new_params_d,
+            opt_state_g=opt_state_g,
+            opt_state_d=opt_state_d,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step
