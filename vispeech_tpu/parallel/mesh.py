@@ -56,11 +56,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of [B, ...] arrays with B sharded on 'data'."""
+    """Place a pytree of host-local [B, ...] arrays with B sharded on 'data'.
+
+    Single-host: plain device_put with a NamedSharding.  Multi-host: each
+    process passes its local shard and the global array is assembled with
+    make_array_from_process_local_data (B_global = B_local × process_count).
+    """
+    multihost = jax.process_count() > 1
 
     def put(x):
         spec = P("data", *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost:  # pragma: no cover - requires real multi-host
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -1,0 +1,239 @@
+"""Full training runtime (reference train.py:42-339 redesigned for TPU).
+
+The reference launches one CUDA process per GPU with NCCL DDP; here a single
+controller per host drives a jitted GAN step whose batch is sharded over the
+('data', 'model') mesh — gradient all-reduce is GSPMD-inserted and rides ICI.
+Multi-host: call jax.distributed.initialize() before Trainer(); per-host data
+loading uses rank-strided bucket sharding (process_index/process_count), and
+checkpoint/eval work runs on process 0 only.
+
+Loop structure per the reference:
+  * log scalars every `log_interval` steps (train.py:229-258)
+  * evaluate + checkpoint every `eval_interval` steps (train.py:260-265)
+  * checkpoints pruned to the newest 2 (utils.py:54-59), resume from latest
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vispeech_tpu.config import Config, save_config
+from vispeech_tpu.data.dataset import BucketSampler, FilelistDataset, collate, data_loader
+from vispeech_tpu.dsp import mel_spectrogram, spec_to_mel
+from vispeech_tpu.parallel import make_mesh, shard_batch
+from vispeech_tpu.text.symbols import N_SYMBOLS
+from vispeech_tpu.train.step import Batch, TrainState, create_train_state, make_train_step
+from vispeech_tpu.utils import (
+    TrainLogger,
+    check_git_hash,
+    get_logger,
+    latest_checkpoint_step,
+    load_checkpoint,
+    save_checkpoint,
+)
+from vispeech_tpu.utils.plotting import line_plot_image, spectrogram_image
+
+
+class Trainer:
+    """End-to-end GAN trainer: data, sharded step, logging, eval, checkpoints."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        data_root: str = "dataset",
+        mesh=None,
+        model_parallel: int = 1,
+    ):
+        self.cfg = cfg
+        self.save_dir = cfg.train.save_dir
+        self.logger = get_logger(self.save_dir if jax.process_index() == 0 else None)
+        if jax.process_index() == 0:
+            os.makedirs(self.save_dir, exist_ok=True)
+            save_config(cfg, os.path.join(self.save_dir, "config.json"))
+            check_git_hash(self.save_dir)
+            self.tb = TrainLogger(os.path.join(self.save_dir, "tb"))
+            self.tb_eval = TrainLogger(os.path.join(self.save_dir, "tb_eval"))
+        else:  # pragma: no cover - multi-host only
+            self.tb = self.tb_eval = None
+
+        self.mesh = mesh if mesh is not None else make_mesh(model=model_parallel)
+
+        self.train_set = FilelistDataset(
+            cfg.data.training_files, cfg.data, data_root=data_root
+        )
+        self.val_set = FilelistDataset(
+            cfg.data.validation_files, cfg.data, data_root=data_root
+        )
+        # batch_size is per-device (the reference's per-GPU batch,
+        # config.json:13); each host loads its share of the data axis
+        data_size = self.mesh.shape["data"]
+        self.per_host_batch = cfg.train.batch_size * (
+            data_size // jax.process_count()
+        )
+        self.sampler = BucketSampler(
+            self.train_set.lengths,
+            batch_size=self.per_host_batch,
+            num_replicas=jax.process_count(),
+            rank=jax.process_index(),
+            seed=cfg.train.seed,
+        )
+        self.steps_per_epoch = max(len(self.sampler), 1)
+        self.logger.info(
+            "train: %d utts, val: %d utts, %d steps/epoch, devices=%d",
+            len(self.train_set), len(self.val_set), self.steps_per_epoch,
+            len(jax.devices()),
+        )
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        init_batch = self._init_batch()
+        self.state, self.model_g, self.model_d = create_train_state(
+            cfg, rng, N_SYMBOLS, init_batch, self.steps_per_epoch
+        )
+        self._step_fn = jax.jit(
+            make_train_step(cfg, self.model_g, self.model_d, self.steps_per_epoch),
+            donate_argnums=0,
+        )
+        self._infer_fn = None  # built lazily (static t_frames)
+
+    # ------------------------------------------------------------------ utils
+
+    def _init_batch(self) -> Batch:
+        """Tiny dummy batch just for parameter init (shapes don't matter)."""
+        d = self.cfg.data
+        B, N, T = 1, 8, max(self.cfg.train.segment_size // d.hop_length, 8)
+        return Batch(
+            phonemes=jnp.ones((B, N), jnp.int32),
+            phoneme_lengths=jnp.full((B,), N, jnp.int32),
+            f0=jnp.full((B, N), 150.0, jnp.float32),
+            energy=jnp.full((B, N), 60.0, jnp.float32),
+            duration=jnp.full((B, N), T // N, jnp.int32),
+            spec=jnp.zeros((B, T, d.spec_channels), jnp.float32),
+            spec_lengths=jnp.full((B,), T, jnp.int32),
+            wav=jnp.zeros((B, T * d.hop_length, 1), jnp.float32),
+            wav_lengths=jnp.full((B,), T * d.hop_length, jnp.int32),
+            sid=jnp.zeros((B,), jnp.int32),
+        )
+
+    def resume(self) -> Optional[int]:
+        """Restore the latest checkpoint if one exists; returns its step."""
+        self.state, step = load_checkpoint(self.save_dir, self.state)
+        return step
+
+    @property
+    def global_step(self) -> int:
+        return int(jax.device_get(self.state.step))
+
+    # ------------------------------------------------------------------ train
+
+    def _batches(self, epoch: int) -> Iterator[Batch]:
+        for raw in data_loader(self.train_set, self.sampler, epoch):
+            yield Batch(**raw)
+
+    def train(self, max_steps: Optional[int] = None) -> None:
+        cfg = self.cfg
+        start_step = self.global_step
+        start_epoch = start_step // self.steps_per_epoch
+        self.logger.info("starting at step %d (epoch %d)", start_step, start_epoch)
+        t0 = time.time()
+        with self.mesh:
+            for epoch in range(start_epoch, cfg.train.epochs):
+                for batch in self._batches(epoch):
+                    step = self.global_step
+                    if max_steps is not None and step >= max_steps:
+                        self._save(step)
+                        return
+                    batch = shard_batch(batch, self.mesh)
+                    self.state, metrics = self._step_fn(self.state, batch)
+                    step += 1
+                    if step % cfg.train.log_interval == 0 and self.tb is not None:
+                        metrics = jax.device_get(metrics)
+                        lr = cfg.train.learning_rate * (
+                            cfg.train.lr_decay ** (step // self.steps_per_epoch)
+                        )
+                        metrics["lr"] = lr
+                        dt = time.time() - t0
+                        metrics["steps_per_sec"] = cfg.train.log_interval / max(dt, 1e-9)
+                        t0 = time.time()
+                        self.tb.scalars(step, metrics)
+                        self.logger.info(
+                            "epoch %d step %d: g=%.3f d=%.3f mel=%.3f (%.2f steps/s)",
+                            epoch, step,
+                            float(metrics.get("loss/g/total", np.nan)),
+                            float(metrics.get("loss/d/total", np.nan)),
+                            float(metrics.get("loss/g/mel", np.nan)),
+                            metrics["steps_per_sec"],
+                        )
+                    if step % cfg.train.eval_interval == 0:
+                        if jax.process_index() == 0:
+                            self.evaluate(step)
+                        self._save(step)
+
+    def _save(self, step: int) -> None:
+        save_checkpoint(self.save_dir, self.state, step, keep=2)
+
+    # ------------------------------------------------------------------- eval
+
+    def _build_infer(self, t_frames: int):
+        def fn(params, phonemes, lengths, sid, rng):
+            return self.model_g.apply(
+                params, phonemes, lengths, t_frames, sid=sid,
+                noise_scale=0.667,
+                method=type(self.model_g).infer,
+                rngs={"sample": rng},
+            )
+
+        return jax.jit(fn)
+
+    def evaluate(self, step: int, t_frames: int = 1024) -> None:
+        """Synthesize the first val utterance, log mel/F0/audio
+        (reference train.py:272-339: rank0, first utt, max_len=1000)."""
+        if len(self.val_set) == 0 or self.tb_eval is None:
+            return
+        d = self.cfg.data
+        raw = collate(self.val_set, [0], frame_budget=min(t_frames, 1400))
+        if self._infer_fn is None:
+            self._infer_fn = self._build_infer(raw["spec"].shape[1])
+        audio, frame_mask, _, dur, f0_pred, energy_pred = jax.device_get(
+            self._infer_fn(
+                self.state.params_g,
+                jnp.asarray(raw["phonemes"]),
+                jnp.asarray(raw["phoneme_lengths"]),
+                jnp.asarray(raw["sid"]),
+                jax.random.PRNGKey(step),
+            )
+        )
+        n_frames = int(np.asarray(frame_mask).sum())
+        wav = np.asarray(audio)[0, : n_frames * d.hop_length, 0]
+
+        gt_spec = raw["spec"][0, : int(raw["spec_lengths"][0])]
+        gt_mel = np.asarray(jax.device_get(spec_to_mel(
+            jnp.asarray(gt_spec[None]), d.filter_length, d.n_mel_channels,
+            d.sampling_rate, d.mel_fmin, d.mel_fmax,
+        )))[0]
+        gen_mel = np.asarray(jax.device_get(mel_spectrogram(
+            jnp.asarray(wav[None]), d.filter_length, d.n_mel_channels,
+            d.sampling_rate, d.hop_length, d.win_length, d.mel_fmin, d.mel_fmax,
+        )))[0]
+
+        n_ph = int(raw["phoneme_lengths"][0])
+        self.tb_eval.image(step, "eval/mel_gt", spectrogram_image(gt_mel) / 255.0)
+        self.tb_eval.image(step, "eval/mel_gen", spectrogram_image(gen_mel) / 255.0)
+        self.tb_eval.image(
+            step, "eval/f0",
+            line_plot_image(
+                [raw["f0"][0, :n_ph], np.asarray(f0_pred)[0, :n_ph]],
+                ["gt", "pred"], title="phoneme F0 (Hz)",
+            ) / 255.0,
+        )
+        self.tb_eval.audio(step, "eval/audio_gen", wav, d.sampling_rate)
+        gt_wav = raw["wav"][0, : int(raw["wav_lengths"][0]), 0]
+        self.tb_eval.audio(step, "eval/audio_gt", gt_wav, d.sampling_rate)
+        self.tb_eval.flush()
+        self.logger.info("eval @ step %d: %d frames synthesized", step, n_frames)

@@ -55,21 +55,48 @@ class TrainState(struct.PyTreeNode):
     rng: Array
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: Config,
+    steps_per_epoch: int,
+    freeze: Tuple[str, ...] = (),
+) -> optax.GradientTransformation:
     """AdamW β=(0.8,0.99), eps 1e-9, wd 0.01 (torch default), per-epoch
-    exponential decay γ=0.999875 (reference train.py:95-104,121-122)."""
+    exponential decay γ=0.999875 (reference train.py:95-104,121-122).
+
+    `freeze` lists top-level param-tree keys whose updates are zeroed —
+    the reference's requires_grad_(False) freeze flags (models.py:617-622,
+    config freeze_textencoder/freeze_decoder).
+    """
 
     def schedule(step):
         epoch = step // max(steps_per_epoch, 1)
         return cfg.train.learning_rate * (cfg.train.lr_decay ** epoch)
 
-    return optax.adamw(
+    tx = optax.adamw(
         learning_rate=schedule,
         b1=cfg.train.betas[0],
         b2=cfg.train.betas[1],
         eps=cfg.train.eps,
         weight_decay=0.01,
     )
+    if freeze:
+        frozen = set(freeze)
+
+        def mask(params):
+            return {k: (k in frozen) for k in params}
+
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), mask))
+    return tx
+
+
+def g_freeze_keys(cfg: Config) -> Tuple[str, ...]:
+    """Top-level generator param keys frozen by config flags."""
+    keys = []
+    if cfg.model.freeze_textencoder:
+        keys.append("enc_p")
+    if cfg.model.freeze_decoder:
+        keys.append("dec")
+    return tuple(keys)
 
 
 def create_train_state(
@@ -91,13 +118,14 @@ def create_train_state(
     seg = cfg.train.segment_size
     dummy_wav = jnp.zeros((batch.wav.shape[0], seg, 1), batch.wav.dtype)
     params_d = model_d.init(init_d, dummy_wav, dummy_wav)
-    tx = make_optimizer(cfg, steps_per_epoch)
+    tx_g = make_optimizer(cfg, steps_per_epoch, freeze=g_freeze_keys(cfg))
+    tx_d = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=params_g,
         params_d=params_d,
-        opt_state_g=tx.init(params_g["params"]),
-        opt_state_d=tx.init(params_d["params"]),
+        opt_state_g=tx_g.init(params_g["params"]),
+        opt_state_d=tx_d.init(params_d["params"]),
         rng=rng,
     )
     return state, model_g, model_d
@@ -110,7 +138,8 @@ def make_train_step(
     steps_per_epoch: int = 1000,
 ):
     """Returns train_step(state, batch) -> (state, metrics), ready to jit/pjit."""
-    tx = make_optimizer(cfg, steps_per_epoch)
+    tx_g = make_optimizer(cfg, steps_per_epoch, freeze=g_freeze_keys(cfg))
+    tx_d = make_optimizer(cfg, steps_per_epoch)
     d = cfg.data
     seg_frames = cfg.train.segment_size // d.hop_length
     compute_dtype = jnp.bfloat16 if cfg.train.fp16_run else jnp.float32
@@ -162,7 +191,7 @@ def make_train_step(
             state.params_d["params"]
         )
         grad_norm_d = grad_global_norm(d_grads)
-        d_updates, opt_state_d = tx.update(
+        d_updates, opt_state_d = tx_d.update(
             d_grads, state.opt_state_d, state.params_d["params"]
         )
         new_params_d = {
@@ -206,7 +235,7 @@ def make_train_step(
         )(state.params_g)
         g_grads = g_grads["params"]
         grad_norm_g = grad_global_norm(g_grads)
-        g_updates, opt_state_g = tx.update(
+        g_updates, opt_state_g = tx_g.update(
             g_grads, state.opt_state_g, state.params_g["params"]
         )
         new_params_g = {

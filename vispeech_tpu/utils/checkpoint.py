@@ -1,0 +1,163 @@
+"""Checkpoint save / resume (reference utils.py:21-89 redesigned for TPU).
+
+Checkpoints are stored as a flat ``{tree-path: ndarray}`` mapping in a single
+``.npz`` per step.  Path-keyed flat storage makes the reference's semantics
+exact and trivial:
+
+- step-numbered checkpoints (``ckpt_{step}.npz``, reference ``G_{step}.pth``);
+- **tolerant partial load** — every leaf whose tree path + shape matches the
+  current state is restored, everything else keeps its fresh-init value (the
+  reference's key-wise fallback load, utils.py:33-43) so fine-tuning with
+  grown/shrunk modules works;
+- ``skip_optimizer`` for fine-tuning with frozen parts (utils.py:26,45);
+- automatic pruning of stale checkpoints, keeping the newest ``keep``
+  (utils.py:54-59 deletes the checkpoint from 2 eval-intervals ago);
+- resume = restore at ``latest_checkpoint_step`` (utils.py:84-89's glob-max).
+
+The whole TrainState (G params, D params, both optimizer states, RNG, step)
+is one checkpoint — there is no G/D file split to keep in sync.  Writes are
+atomic (tmp + rename) so a preempted save never corrupts the resume point;
+under multi-host pjit only process 0 writes (state is replicated or
+host-gathered by the caller).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("vispeech_tpu")
+
+_CKPT_RE = re.compile(r"^ckpt_(\d+)\.npz$")
+
+
+def _path_str(keypath) -> str:
+    parts = []
+    for k in keypath:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def flatten_state(state: Any) -> Dict[str, np.ndarray]:
+    """Flatten any pytree (flax structs, optax NamedTuples, dicts) to
+    {path: host ndarray}."""
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    return {_path_str(kp): np.asarray(jax.device_get(v)) for kp, v in leaves}
+
+
+def _ckpt_path(base_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(base_dir), f"ckpt_{step}.npz")
+
+
+def save_checkpoint(base_dir: str, state: Any, step: int, keep: int = 2) -> str:
+    """Save the full train state at `step`; prune to the newest `keep`.
+
+    No-op (returning the would-be path) on non-zero hosts.
+    """
+    path = _ckpt_path(base_dir, step)
+    if jax.process_index() != 0:
+        return path
+    os.makedirs(os.path.abspath(base_dir), exist_ok=True)
+    flat = flatten_state(state)
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+    logger.info("Saved checkpoint at step %d -> %s (%d arrays)", step, path, len(flat))
+    prune_checkpoints(base_dir, keep=keep)
+    return path
+
+
+def list_checkpoint_steps(base_dir: str):
+    if not os.path.isdir(base_dir):
+        return []
+    steps = []
+    for name in os.listdir(base_dir):
+        m = _CKPT_RE.match(name)
+        if m:
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def latest_checkpoint_step(base_dir: str) -> Optional[int]:
+    """Largest saved step, or None (reference utils.py:84-89)."""
+    steps = list_checkpoint_steps(base_dir)
+    return steps[-1] if steps else None
+
+
+def prune_checkpoints(base_dir: str, keep: int = 2) -> None:
+    """Delete all but the newest `keep` checkpoints (utils.py:54-59)."""
+    steps = list_checkpoint_steps(base_dir)
+    for step in steps[:-keep] if keep > 0 else steps:
+        path = _ckpt_path(base_dir, step)
+        try:
+            os.remove(path)
+            logger.info("Pruned stale checkpoint %s", path)
+        except OSError:
+            pass
+
+
+def load_checkpoint(
+    base_dir: str,
+    state: Any,
+    step: Optional[int] = None,
+    skip_optimizer: bool = False,
+) -> Tuple[Any, Optional[int]]:
+    """Restore into `state` tolerantly; returns (state, restored_step).
+
+    Every leaf of `state` whose path exists in the checkpoint with a matching
+    shape takes the stored value; all others keep their current (fresh-init)
+    values with a warning — the reference's shape-tolerant key-wise load
+    (utils.py:33-43).  With ``skip_optimizer``, leaves under ``opt_state*``
+    are left untouched (utils.py:45-51).
+    """
+    if step is None:
+        step = latest_checkpoint_step(base_dir)
+    if step is None:
+        return state, None
+    path = _ckpt_path(base_dir, step)
+    stored = np.load(path)
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
+    new_leaves = []
+    n_hit = 0
+    for kp, cur in leaves:
+        p = _path_str(kp)
+        cur_np = np.asarray(jax.device_get(cur))
+        if skip_optimizer and p.startswith("opt_state"):
+            new_leaves.append(cur)
+            continue
+        if p not in stored.files:
+            logger.warning("ckpt: %s missing in checkpoint; keeping init", p)
+            new_leaves.append(cur)
+            continue
+        val = stored[p]
+        if val.shape != cur_np.shape:
+            logger.warning(
+                "ckpt: %s shape mismatch %s vs %s; keeping init",
+                p, val.shape, cur_np.shape,
+            )
+            new_leaves.append(cur)
+            continue
+        new_leaves.append(val.astype(cur_np.dtype))
+        n_hit += 1
+    new_state = jax.tree_util.tree_unflatten(
+        treedef, [v for v in new_leaves]
+    )
+    logger.info(
+        "Restored checkpoint step %s from %s (%d/%d leaves)",
+        step, path, n_hit, len(leaves),
+    )
+    return new_state, step
