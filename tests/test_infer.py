@@ -1,0 +1,148 @@
+"""Inference engine + HTTP server tests (on fresh-init weights, tiny model)."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from vispeech_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from vispeech_tpu.models import Synthesizer
+from vispeech_tpu.text.symbols import N_SYMBOLS
+
+HOP = 64
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from vispeech_tpu.infer.pipeline import TTSEngine
+
+    cfg = Config(
+        train=TrainConfig(fp16_run=False, segment_size=4 * HOP),
+        data=DataConfig(
+            sampling_rate=8000, filter_length=256, hop_length=HOP,
+            win_length=256, n_mel_channels=20, n_speakers=4,
+            spk2id=(("alice", 1), ("bob", 2)),
+        ),
+        model=ModelConfig(
+            inter_channels=16, hidden_channels=16, filter_channels=32,
+            n_heads=2, n_layers=1,
+            upsample_rates=(4, 4, 2, 2), upsample_initial_channel=32,
+            upsample_kernel_sizes=(8, 8, 4, 4),
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+            gin_channels=8,
+        ),
+    )
+    model = Synthesizer.from_config(cfg, N_SYMBOLS)
+    import jax.numpy as jnp
+
+    B, N, T = 1, 8, 16
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        jnp.ones((B, N), jnp.int32), jnp.asarray([N], jnp.int32),
+        jnp.full((B, N), 150.0), jnp.full((B, N), 60.0),
+        jnp.full((B, N), T // N, jnp.int32),
+        jnp.zeros((B, T, cfg.data.spec_channels)), jnp.asarray([T], jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        deterministic=True,
+    )
+    return TTSEngine(cfg, variables)
+
+
+class TestEngine:
+    def test_synthesize_text(self, engine):
+        out = engine.synthesize(text="[P]ni2 hao3[P]", speaker=0, seed=1)
+        assert out["sampling_rate"] == 8000
+        assert out["audio"].ndim == 1 and len(out["audio"]) > 0
+        assert np.isfinite(out["audio"]).all()
+        n = len(out["phones"])
+        assert out["duration"].shape == (n,)
+        assert out["f0"].shape == (n,)
+        assert out["energy"].shape == (n,)
+        # audio length = Σduration frames × hop
+        assert len(out["audio"]) == int(out["duration"].sum()) * HOP
+
+    def test_scalar_controls(self, engine):
+        base = engine.synthesize(text="[P]ni2 hao3[P]", seed=1)
+        slow = engine.synthesize(text="[P]ni2 hao3[P]", duration_control=2.0, seed=1)
+        assert slow["duration"].sum() > base["duration"].sum()
+
+    def test_prosody_edit_loop(self, engine):
+        """GUI contract: take predicted per-phoneme f0, edit, re-synthesize."""
+        first = engine.synthesize(text="[P]ni2 hao3[P]", seed=1)
+        edited_f0 = np.asarray(first["f0"]) * 1.5
+        second = engine.synthesize(
+            text="[P]ni2 hao3[P]",
+            pitch_control=edited_f0,
+            duration_control=np.asarray(first["duration"]),
+            seed=1,
+        )
+        np.testing.assert_allclose(
+            second["f0"], edited_f0, rtol=2e-2, atol=1.0
+        )
+        assert second["duration"].sum() == first["duration"].sum()
+
+    def test_speaker_by_name(self, engine):
+        durs = np.full(4, 5.0)  # pin durations so lengths match across speakers
+        a = engine.synthesize(text="[P]ni2 hao3[P]", speaker="alice",
+                              duration_control=durs, seed=1)
+        b = engine.synthesize(text="[P]ni2 hao3[P]", speaker="bob",
+                              duration_control=durs, seed=1)
+        assert a["audio"].shape == b["audio"].shape
+        assert not np.allclose(a["audio"], b["audio"])
+
+    def test_voice_conversion(self, engine):
+        wav = np.random.RandomState(0).randn(HOP * 50).astype(np.float32) * 0.1
+        out = engine.voice_conversion(wav, speaker_src=1, speaker_tgt=2)
+        assert len(out["audio"]) == 50 * HOP
+        assert np.isfinite(out["audio"]).all()
+
+
+class TestServer:
+    @pytest.fixture(scope="class")
+    def server(self, engine):
+        import socket
+
+        from vispeech_tpu.infer.server import make_handler
+        from http.server import ThreadingHTTPServer
+
+        lock = threading.Lock()
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine, lock))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}"
+        httpd.shutdown()
+
+    def test_health(self, server):
+        with urllib.request.urlopen(f"{server}/health") as r:
+            assert json.loads(r.read())["ok"] is True
+
+    def test_tts_wav(self, server):
+        from urllib.parse import quote
+
+        with urllib.request.urlopen(f"{server}/tts?text={quote('[P]ni2 hao3[P]')}") as r:
+            body = r.read()
+        assert r.headers["Content-Type"] == "audio/wav"
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        assert len(body) > 100
+
+    def test_tts_json_prosody(self, server):
+        from urllib.parse import quote
+
+        with urllib.request.urlopen(
+            f"{server}/tts.json?text={quote('[P]ni2 hao3[P]')}&speaker=1"
+        ) as r:
+            obj = json.loads(r.read())
+        assert obj["phones"]
+        assert len(obj["f0"]) == len(obj["phones"])
+
+    def test_missing_text(self, server):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{server}/tts")
+        assert ei.value.code == 400

@@ -1,0 +1,263 @@
+"""TTS inference engine (reference inference.py:21-46, models.py:672-732).
+
+Text → phonemes → jitted Synthesizer.infer → waveform, with the full prosody
+control surface:
+
+- scalar ``duration/pitch/energy`` multipliers,
+- per-phoneme override *tensors* (the GUI's slider contract, gui.py:82-113 —
+  the result dict returns per-phoneme predicted F0/duration/energy so a client
+  can edit and re-drive synthesis),
+- ``noise_scale``, speaker selection, and flow-based voice conversion.
+
+TPU-static-shape design: phoneme length pads to a multiple of 32 and the
+frame budget comes from a cheap jitted duration-only pass followed by bucket
+selection, so the number of compiled programs stays bounded while arbitrary
+text lengths work.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vispeech_tpu.config import Config, load_config
+from vispeech_tpu.data.dataset import DEFAULT_BUCKETS, numpy_spectrogram
+from vispeech_tpu.models import Synthesizer
+from vispeech_tpu.text import cleaned_text_to_sequence, text_to_phones
+from vispeech_tpu.text.symbols import N_SYMBOLS
+from vispeech_tpu.utils.checkpoint import latest_checkpoint_step
+
+Control = Union[None, float, np.ndarray]
+
+_PH_PAD = 32
+
+
+def load_generator_params(ckpt_dir: str, step: Optional[int] = None) -> dict:
+    """Extract the generator variables from a trainer checkpoint
+    (flat ``params_g/...`` paths → nested dict)."""
+    if step is None:
+        step = latest_checkpoint_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+    path = os.path.join(ckpt_dir, f"ckpt_{step}.npz")
+    stored = np.load(path)
+    tree: dict = {}
+    prefix = "params_g/"
+    for key in stored.files:
+        if not key.startswith(prefix):
+            continue
+        parts = key[len(prefix):].split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(stored[key])
+    if not tree:
+        raise ValueError(f"checkpoint {path} has no generator params")
+    return tree
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_bucket(n: int) -> int:
+    for b in DEFAULT_BUCKETS:
+        if n <= b:
+            return b
+    return _round_up(n, 256)
+
+
+class TTSEngine:
+    """Loads config + checkpoint once, then synthesizes repeatedly."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        variables: dict,
+        max_phonemes: int = 512,
+    ):
+        self.cfg = cfg
+        self.model = Synthesizer.from_config(cfg, N_SYMBOLS)
+        self.variables = variables
+        self.max_phonemes = max_phonemes
+        self._dur_fns: Dict[int, object] = {}
+        self._infer_fns: Dict[tuple, object] = {}
+        self._vc_fns: Dict[int, object] = {}
+        self.spk2id = dict(cfg.data.spk2id)
+
+    @classmethod
+    def from_checkpoint(
+        cls, config_path: str, ckpt_dir: str, step: Optional[int] = None
+    ) -> "TTSEngine":
+        cfg = load_config(config_path)
+        variables = {"params": load_generator_params(ckpt_dir, step)["params"]}
+        return cls(cfg, variables)
+
+    # ------------------------------------------------------------ text
+
+    def phonemes(self, text: str) -> Sequence[str]:
+        return text_to_phones(text)
+
+    def _encode(self, phones: Sequence[str]):
+        ids = cleaned_text_to_sequence(list(phones))
+        n = len(ids)
+        n_pad = min(_round_up(max(n, 1), _PH_PAD), self.max_phonemes)
+        if n > n_pad:
+            raise ValueError(f"too many phonemes: {n} > {self.max_phonemes}")
+        arr = np.zeros((1, n_pad), np.int32)
+        arr[0, :n] = ids
+        return jnp.asarray(arr), jnp.asarray([n], jnp.int32), n
+
+    # ------------------------------------------------------------ main API
+
+    def synthesize(
+        self,
+        text: Optional[str] = None,
+        phones: Optional[Sequence[str]] = None,
+        speaker: Union[int, str] = 0,
+        noise_scale: float = 0.667,
+        duration_control: Control = None,
+        pitch_control: Control = None,
+        energy_control: Control = None,
+        seed: int = 0,
+    ) -> Dict[str, np.ndarray]:
+        """Returns dict with 'audio' [T_samples], 'sampling_rate', and the
+        per-phoneme 'phones', 'duration', 'f0', 'energy' (prosody-edit loop)."""
+        if phones is None:
+            if text is None:
+                raise ValueError("need text or phones")
+            phones = self.phonemes(text)
+        phonemes, lengths, n = self._encode(phones)
+        sid = jnp.asarray(
+            [self.spk2id.get(speaker, 0) if isinstance(speaker, str) else int(speaker)],
+            jnp.int32,
+        )
+
+        # frame budget: duration pass (or user-provided durations)
+        if isinstance(duration_control, (np.ndarray, list, tuple)):
+            dur_arr = np.zeros((1, phonemes.shape[1]), np.float32)
+            dur_arr[0, :n] = np.asarray(duration_control, np.float32).reshape(-1)[:n]
+            total = int(dur_arr.sum())
+        else:
+            dur_fn = self._get_duration_fn(phonemes.shape[1])
+            pred_dur = np.asarray(jax.device_get(
+                dur_fn(self.variables, phonemes, lengths, sid)
+            ))
+            scale = 1.0 if duration_control is None else float(duration_control)
+            dur_arr = np.ceil(np.maximum(pred_dur * scale, 0.0)).astype(np.float32)
+            dur_arr[0, n:] = 0
+            total = int(dur_arr.sum())
+        t_frames = _pick_bucket(max(total, 1))
+
+        pitch_arr, pitch_scale = self._split_control(pitch_control, phonemes.shape[1], n)
+        energy_arr, energy_scale = self._split_control(energy_control, phonemes.shape[1], n)
+
+        run = self._get_infer_fn(
+            phonemes.shape[1], t_frames,
+            use_pitch_arr=pitch_arr is not None,
+            use_energy_arr=energy_arr is not None,
+        )
+        audio, frame_mask, _, dur, f0, energy = jax.device_get(run(
+            self.variables, phonemes, lengths, sid, jax.random.PRNGKey(seed),
+            jnp.asarray(noise_scale, jnp.float32),
+            jnp.asarray(dur_arr),
+            jnp.asarray(pitch_arr) if pitch_arr is not None
+            else jnp.asarray(pitch_scale, jnp.float32),
+            jnp.asarray(energy_arr) if energy_arr is not None
+            else jnp.asarray(energy_scale, jnp.float32),
+        ))
+        n_frames = int(np.asarray(frame_mask).sum())
+        wav = np.asarray(audio)[0, : n_frames * self.cfg.data.hop_length, 0]
+        return {
+            "audio": wav,
+            "sampling_rate": self.cfg.data.sampling_rate,
+            "phones": list(phones),
+            "duration": np.asarray(dur)[0, :n],
+            "f0": np.asarray(f0)[0, :n],
+            "energy": np.asarray(energy)[0, :n],
+        }
+
+    def _split_control(self, ctrl: Control, n_pad: int, n: int):
+        """array control → (padded array, None); scalar/None → (None, scale)."""
+        if isinstance(ctrl, (np.ndarray, list, tuple)):
+            arr = np.zeros((1, n_pad), np.float32)
+            arr[0, :n] = np.asarray(ctrl, np.float32).reshape(-1)[:n]
+            return arr, None
+        return None, (1.0 if ctrl is None else float(ctrl))
+
+    def _get_duration_fn(self, n_pad: int):
+        if n_pad not in self._dur_fns:
+            def fn(variables, phonemes, lengths, sid):
+                return self.model.apply(
+                    variables, phonemes, lengths, sid,
+                    method=Synthesizer.predict_durations,
+                )
+
+            self._dur_fns[n_pad] = jax.jit(fn)
+        return self._dur_fns[n_pad]
+
+    def _get_infer_fn(self, n_pad: int, t_frames: int,
+                      use_pitch_arr: bool, use_energy_arr: bool):
+        key = (n_pad, t_frames, use_pitch_arr, use_energy_arr)
+        if key not in self._infer_fns:
+            def fn(variables, phonemes, lengths, sid, rng, noise_scale,
+                   duration, pitch_ctrl, energy_ctrl):
+                return self.model.apply(
+                    variables, phonemes, lengths, t_frames, sid=sid,
+                    noise_scale=noise_scale,
+                    duration_control=duration,
+                    pitch_control=pitch_ctrl,
+                    energy_control=energy_ctrl,
+                    method=Synthesizer.infer,
+                    rngs={"sample": rng},
+                )
+
+            self._infer_fns[key] = jax.jit(fn)
+        return self._infer_fns[key]
+
+    # ------------------------------------------------------ voice conversion
+
+    def voice_conversion(
+        self,
+        wav: np.ndarray,
+        speaker_src: Union[int, str],
+        speaker_tgt: Union[int, str],
+    ) -> Dict[str, np.ndarray]:
+        """Any-to-any conversion through the shared flow prior
+        (reference models.py:724-732, inference.ipynb cells)."""
+        d = self.cfg.data
+        spec = numpy_spectrogram(
+            np.asarray(wav, np.float32), d.filter_length, d.hop_length, d.win_length
+        )
+        t = spec.shape[0]
+        t_pad = _pick_bucket(t)
+        spec_pad = np.zeros((1, t_pad, spec.shape[1]), np.float32)
+        spec_pad[0, :t] = spec
+
+        def to_sid(s):
+            return jnp.asarray(
+                [self.spk2id.get(s, 0) if isinstance(s, str) else int(s)], jnp.int32
+            )
+
+        if t_pad not in self._vc_fns:
+            def fn(variables, spec, spec_lengths, sid_src, sid_tgt, rng):
+                return self.model.apply(
+                    variables, spec, spec_lengths, sid_src, sid_tgt,
+                    method=Synthesizer.voice_conversion,
+                    rngs={"sample": rng},
+                )
+
+            self._vc_fns[t_pad] = jax.jit(fn)
+        audio, y_mask, _ = jax.device_get(self._vc_fns[t_pad](
+            self.variables, jnp.asarray(spec_pad), jnp.asarray([t], jnp.int32),
+            to_sid(speaker_src), to_sid(speaker_tgt), jax.random.PRNGKey(0),
+        ))
+        return {
+            "audio": np.asarray(audio)[0, : t * d.hop_length, 0],
+            "sampling_rate": d.sampling_rate,
+        }

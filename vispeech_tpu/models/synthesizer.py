@@ -436,6 +436,21 @@ class Synthesizer(nn.Module):
         o = self.dec(z, g=g)
         return o, frame_mask, (z, z_p, m_p, logs_p), duration, f0, energy
 
+    def predict_durations(
+        self,
+        phonemes: Array,
+        phoneme_lengths: Array,
+        sid: Optional[Array] = None,
+    ) -> Array:
+        """Cheap duration-only pass → predicted frame counts [B, N]
+        (serving uses this to pick the static frame bucket before the full
+        infer program; reference computes this inline, models.py:681-688)."""
+        g = self._speaker(sid)
+        x, x_mask = self.enc_p(phonemes, phoneme_lengths, deterministic=True)
+        logw = self.duration_predictor(x, x_mask, g=g, deterministic=True)
+        w = (jnp.exp(logw) * x_mask - 1.0)
+        return jnp.maximum(jnp.ceil(w), 0.0)[..., 0]
+
     def voice_conversion(
         self,
         spec: Array,
