@@ -1,0 +1,113 @@
+"""Pallas kernels vs XLA references (interpret mode on CPU, SURVEY.md §4)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vispeech_tpu.ops.attention import (
+    _pad_rel_embeddings,
+    _relative_to_absolute,
+    _absolute_to_relative,
+)
+from vispeech_tpu.ops.pallas.flash_attention import relative_self_attention
+
+
+def xla_reference(q, k, v, rel_k, rel_v, key_mask, window):
+    """The ops/attention.py formulation on pre-projected heads."""
+    B, H, T, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k,
+                        precision=jax.lax.Precision.HIGHEST)
+    rk = jax.vmap(lambda r: _pad_rel_embeddings(r, T, window))(rel_k)
+    rel_logits = jnp.einsum("bhtd,hmd->bhtm", q * scale, rk,
+                            precision=jax.lax.Precision.HIGHEST)
+    scores = scores + _relative_to_absolute(rel_logits)
+    attn_mask = key_mask[:, None, None, :]
+    scores = jnp.where(attn_mask == 0, -1e4, scores)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", p, v,
+                     precision=jax.lax.Precision.HIGHEST)
+    rel_w = _absolute_to_relative(p)
+    rv = jax.vmap(lambda r: _pad_rel_embeddings(r, T, window))(rel_v)
+    out = out + jnp.einsum("bhtm,hmd->bhtd", rel_w, rv,
+                           precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
+class TestRelativeSelfAttention:
+    @pytest.mark.parametrize("T,block_q", [(128, 128), (256, 128), (200, 128)])
+    def test_matches_xla(self, T, block_q):
+        B, H, d, w = 2, 2, 96, 4
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+        k = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+        v = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+        rel_k = jnp.asarray(rng.randn(1, 2 * w + 1, d) * d ** -0.5, jnp.float32)
+        rel_v = jnp.asarray(rng.randn(1, 2 * w + 1, d) * d ** -0.5, jnp.float32)
+        lengths = [T, max(T - 37, 1)]
+        mask = jnp.asarray(
+            (np.arange(T)[None, :] < np.array(lengths)[:, None]), jnp.float32
+        )
+
+        ref = xla_reference(q, k, v, rel_k, rel_v, mask, w)
+        out = relative_self_attention(
+            q, k, v, rel_k, rel_v, mask, window=w, block_q=block_q,
+            interpret=True,
+        )
+        # compare only valid query rows (padded queries are masked downstream)
+        for b, L in enumerate(lengths):
+            np.testing.assert_allclose(
+                np.asarray(out[b, :, :L]), np.asarray(ref[b, :, :L]),
+                rtol=2e-4, atol=2e-5,
+            )
+
+    def test_per_head_rel_tables(self):
+        B, H, T, d, w = 1, 2, 128, 64, 4
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+        k = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+        v = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+        rel_k = jnp.asarray(rng.randn(H, 2 * w + 1, d) * d ** -0.5, jnp.float32)
+        rel_v = jnp.asarray(rng.randn(H, 2 * w + 1, d) * d ** -0.5, jnp.float32)
+        mask = jnp.ones((B, T), jnp.float32)
+        ref = xla_reference(q, k, v, rel_k, rel_v, mask, w)
+        out = relative_self_attention(
+            q, k, v, rel_k, rel_v, mask, window=w, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_encoder_pallas_matches_xla(self):
+        """Full Encoder stack: fused kernel path ≡ XLA path on same params."""
+        from vispeech_tpu.ops.attention import Encoder
+        from vispeech_tpu.ops.masking import length_mask
+
+        B, T, C = 2, 150, 64
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(B, T, C), jnp.float32)
+        lengths = jnp.asarray([150, 97], jnp.int32)
+        x_mask = length_mask(lengths, T, jnp.float32)
+
+        enc_xla = Encoder(C, 128, n_heads=2, n_layers=2, kernel_size=3,
+                          use_pallas=False)
+        enc_pl = Encoder(C, 128, n_heads=2, n_layers=2, kernel_size=3,
+                         use_pallas=True)
+        params = enc_xla.init(jax.random.PRNGKey(0), x, x_mask)
+        ref = enc_xla.apply(params, x, x_mask, deterministic=True)
+        out = enc_pl.apply(params, x, x_mask, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-5)
+
+    def test_fully_masked_rows_finite(self):
+        B, H, T, d = 1, 1, 128, 64
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(B, H, T, d), jnp.float32)
+        rel = jnp.zeros((1, 9, d), jnp.float32)
+        mask = jnp.zeros((B, T), jnp.float32).at[:, :5].set(1.0)
+        out = relative_self_attention(
+            q, q, q, rel, rel, mask, window=4, interpret=True
+        )
+        assert np.isfinite(np.asarray(out)).all()

@@ -64,8 +64,19 @@ def _absolute_to_relative(x: Array) -> Array:
     return x[:, :, :, 1:]
 
 
+def _pallas_attention_viable(key_mask) -> bool:
+    """The fused Pallas path runs on TPU backends (tests force it via the
+    module flag + interpret mode)."""
+    return jax.default_backend() == "tpu" and key_mask is not None
+
+
 class MultiHeadAttention(nn.Module):
-    """Self/cross attention with optional windowed relative embeddings."""
+    """Self/cross attention with optional windowed relative embeddings.
+
+    ``use_pallas``: None = auto (fused Pallas kernel on TPU for deterministic
+    self-attention with relative bias — the FramePriorNet inference hot path);
+    True forces it (interpret mode off-TPU, for tests); False disables.
+    """
 
     channels: int
     out_channels: int
@@ -75,6 +86,7 @@ class MultiHeadAttention(nn.Module):
     heads_share: bool = True
     proximal_bias: bool = False
     block_length: Optional[int] = None
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -83,6 +95,7 @@ class MultiHeadAttention(nn.Module):
         c: Array,
         attn_mask: Optional[Array] = None,
         deterministic: bool = True,
+        key_mask: Optional[Array] = None,
     ) -> Array:
         # x, c: [B, T, C]; attn_mask: [B, 1, T_t, T_s] or broadcastable
         d_k = self.channels // self.n_heads
@@ -96,6 +109,46 @@ class MultiHeadAttention(nn.Module):
         qh = q.reshape(B, T_t, self.n_heads, d_k).transpose(0, 2, 1, 3)
         kh = k.reshape(B, T_s, self.n_heads, d_k).transpose(0, 2, 1, 3)
         vh = v.reshape(B, T_s, self.n_heads, d_k).transpose(0, 2, 1, 3)
+
+        pallas_ok = (
+            self.window_size is not None
+            and T_s == T_t
+            and not self.proximal_bias
+            and self.block_length is None
+            and (deterministic or self.p_dropout == 0.0)
+            and key_mask is not None
+        )
+        use_pallas = (
+            self.use_pallas
+            if self.use_pallas is not None
+            else (pallas_ok and _pallas_attention_viable(key_mask))
+        )
+        if use_pallas and pallas_ok:
+            from vispeech_tpu.ops.pallas.flash_attention import (
+                relative_self_attention,
+            )
+
+            n_rel = 1 if self.heads_share else self.n_heads
+            rel_k = self.param(
+                "emb_rel_k",
+                lambda key, shape: jax.random.normal(key, shape) * (d_k ** -0.5),
+                (n_rel, 2 * self.window_size + 1, d_k),
+            )
+            rel_v = self.param(
+                "emb_rel_v",
+                lambda key, shape: jax.random.normal(key, shape) * (d_k ** -0.5),
+                (n_rel, 2 * self.window_size + 1, d_k),
+            )
+            out = relative_self_attention(
+                qh, kh, vh, rel_k, rel_v, key_mask,
+                window=self.window_size,
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, T_t, self.channels)
+            return Conv1d(
+                self.out_channels, 1, kernel_init=xavier_uniform_conv1x1,
+                name="conv_o",
+            )(out)
 
         scale = 1.0 / math.sqrt(d_k)
         scores = jnp.einsum(
@@ -201,6 +254,7 @@ class Encoder(nn.Module):
     kernel_size: int = 1
     p_dropout: float = 0.0
     window_size: int = 4
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array, x_mask: Array, deterministic: bool = True) -> Array:
@@ -215,8 +269,9 @@ class Encoder(nn.Module):
                 self.n_heads,
                 p_dropout=self.p_dropout,
                 window_size=self.window_size,
+                use_pallas=self.use_pallas,
                 name=f"attn_{i}",
-            )(x, x, attn_mask, deterministic=deterministic)
+            )(x, x, attn_mask, deterministic=deterministic, key_mask=m)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
             x = LayerNorm(name=f"norm1_{i}")(x + y)
 
