@@ -43,7 +43,7 @@ def _attention_kernel(
     v_ref,        # [1, T, d]
     relk_ref,     # [1, W, d]   W = 2w+1
     relv_ref,     # [1, W, d]
-    mask_ref,     # [1, T]      key validity (1/0)
+    mask_ref,     # [1, 1, T]   key validity (1/0)
     o_ref,        # [1, BQ, d]
     *,
     scale: float,
@@ -72,7 +72,7 @@ def _attention_kernel(
         band = (diff == d_off).astype(jnp.float32)
         scores = scores + band * q_rel[:, d_off + window][:, None]
 
-    key_mask = mask_ref[0]                    # [T]
+    key_mask = mask_ref[0, 0]                 # [T]
     scores = jnp.where(key_mask[None, :] > 0, scores, NEG_INF)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -134,7 +134,7 @@ def relative_self_attention(
     vf = v.reshape(B * H, Tp, d).astype(jnp.float32)
     relk = rel_k.astype(jnp.float32)
     relv = rel_v.astype(jnp.float32)
-    maskf = key_mask.astype(jnp.float32)
+    maskf = key_mask.astype(jnp.float32)[:, None, :]  # [B, 1, Tp]
 
     grid = (B * H, Tp // block_q)
 
@@ -158,7 +158,7 @@ def relative_self_attention(
                          lambda bh, qi, H=H, n_rel=n_rel: (
                              (bh % H) if n_rel > 1 else 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp), lambda bh, qi, H=H: (bh // H, 0),
+            pl.BlockSpec((1, 1, Tp), lambda bh, qi, H=H: (bh // H, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
