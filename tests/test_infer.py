@@ -140,6 +140,49 @@ class TestServer:
         assert obj["phones"]
         assert len(obj["f0"]) == len(obj["phones"])
 
+    def test_gui_page(self, server):
+        with urllib.request.urlopen(f"{server}/") as r:
+            body = r.read().decode()
+        assert "prosody editor" in body
+        assert r.headers["Content-Type"].startswith("text/html")
+
+    def test_post_tts_array_controls(self, server):
+        """The web GUI's edit loop: get prosody, POST edited arrays back."""
+        from urllib.parse import quote
+
+        with urllib.request.urlopen(
+            f"{server}/tts.json?text={quote('[P]ni2 hao3[P]')}"
+        ) as r:
+            prosody = json.loads(r.read())
+        body = json.dumps({
+            "phones": prosody["phones"],
+            "speaker": 0,
+            "pitch": [f * 1.2 for f in prosody["f0"]],
+            "duration": prosody["duration"],
+            "energy": prosody["energy"],
+        }).encode()
+        req = urllib.request.Request(
+            f"{server}/tts", data=body,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            wav = r.read()
+        assert wav[:4] == b"RIFF"
+        # duration array respected: samples = Σdur × hop (+ WAV header 44B)
+        n_samples = int(sum(prosody["duration"])) * HOP
+        assert len(wav) == 44 + 2 * n_samples
+
+    def test_post_bad_json(self, server):
+        import urllib.error
+
+        req = urllib.request.Request(
+            f"{server}/tts", data=b"{not json",
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+
     def test_missing_text(self, server):
         import urllib.error
 

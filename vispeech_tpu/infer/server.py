@@ -26,6 +26,70 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+GUI_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>vispeech-tpu prosody editor</title>
+<style>
+body{font-family:sans-serif;max-width:920px;margin:24px auto;padding:0 12px}
+textarea{width:100%;height:60px}
+#phones{display:flex;gap:6px;overflow-x:auto;padding:12px 0}
+.ph{display:flex;flex-direction:column;align-items:center;font-size:12px}
+.ph input[type=range]{writing-mode:vertical-lr;direction:rtl;height:120px}
+.ph .dur{width:42px}
+button{padding:6px 16px;margin-right:8px}
+#status{color:#666;margin-left:8px}
+</style></head><body>
+<h3>vispeech-tpu — per-phoneme prosody editor</h3>
+<textarea id="text">[P]ni2 hao3 shi4 jie4[P]</textarea>
+<div style="margin:8px 0">
+ speaker <input id="spk" value="0" size="6">
+ noise <input id="noise" value="0.667" size="5">
+ <button onclick="synth()">Synthesize</button>
+ <button onclick="resynth()" id="re" disabled>Re-synthesize with edits</button>
+ <span id="status"></span>
+</div>
+<div id="phones"></div>
+<audio id="player" controls style="width:100%"></audio>
+<script>
+let state = null;
+const S=id=>document.getElementById(id);
+function spk(){const v=S('spk').value;return /^\\d+$/.test(v)?parseInt(v):v}
+async function synth(){
+  S('status').textContent='predicting…';
+  const u=`/tts.json?text=${encodeURIComponent(S('text').value)}`+
+          `&speaker=${encodeURIComponent(S('spk').value)}&noise=${S('noise').value}`;
+  const r=await fetch(u); const j=await r.json();
+  if(j.error){S('status').textContent=j.error;return}
+  state=j; render(); await resynth();
+}
+function render(){
+  const div=S('phones'); div.innerHTML='';
+  state.phones.forEach((p,i)=>{
+    const f0=state.f0[i], d=state.duration[i];
+    div.insertAdjacentHTML('beforeend',
+     `<div class="ph"><b>${p}</b>
+      <input type="range" min="50" max="600" step="1" value="${Math.min(600,Math.max(50,f0))}"
+             oninput="state.f0[${i}]=+this.value;this.nextElementSibling.textContent=this.value+'Hz'">
+      <span>${Math.round(f0)}Hz</span>
+      <input class="dur" type="number" min="0" step="1" value="${Math.round(d)}"
+             oninput="state.duration[${i}]=+this.value"></div>`);
+  });
+  S('re').disabled=false;
+}
+async function resynth(){
+  S('status').textContent='synthesizing…';
+  const body={phones:state.phones,speaker:spk(),noise:+S('noise').value,
+              pitch:state.f0,duration:state.duration,energy:state.energy};
+  const r=await fetch('/tts',{method:'POST',headers:{'Content-Type':'application/json'},
+                              body:JSON.stringify(body)});
+  if(!r.ok){S('status').textContent=(await r.json()).error;return}
+  const blob=await r.blob();
+  S('player').src=URL.createObjectURL(blob); S('player').play();
+  S('status').textContent='done';
+}
+</script></body></html>
+"""
+
+
 def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     """Encode float waveform as 16-bit PCM WAV in memory."""
     pcm = (np.clip(np.asarray(audio, np.float32), -1, 1) * 32767).astype("<i2")
@@ -49,11 +113,61 @@ def make_handler(engine, lock: threading.Lock):
             self._send(code, json.dumps(obj, ensure_ascii=False).encode(),
                        "application/json")
 
+        def do_POST(self):  # noqa: N802
+            """POST /tts with a JSON body — the prosody-editing contract
+            (gui.py:82-113): per-phoneme `pitch` (Hz), `duration` (frames)
+            and `energy` arrays override the predictors."""
+            url = urllib.parse.urlparse(self.path)
+            if url.path != "/tts":
+                return self._json(404, {"error": "not found"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": f"bad JSON: {e}"})
+            text = body.get("text")
+            phones = body.get("phones")
+            if not text and not phones:
+                return self._json(400, {"error": "missing text or phones"})
+
+            def ctrl(name):
+                v = body.get(name)
+                if v is None:
+                    return None
+                if isinstance(v, (int, float)):
+                    return float(v)
+                return np.asarray(v, np.float32)
+
+            try:
+                kwargs = dict(
+                    speaker=body.get("speaker", 0),
+                    noise_scale=float(body.get("noise", 0.667)),
+                    duration_control=ctrl("duration"),
+                    pitch_control=ctrl("pitch"),
+                    energy_control=ctrl("energy"),
+                    seed=int(body.get("seed", 0)),
+                )
+            except (TypeError, ValueError) as e:
+                return self._json(400, {"error": f"bad parameter: {e}"})
+            if not lock.acquire(blocking=False):
+                return self._json(503, {"error": "server busy"})
+            try:
+                out = engine.synthesize(text=text, phones=phones, **kwargs)
+            except Exception as e:  # noqa: BLE001
+                return self._json(500, {"error": str(e)})
+            finally:
+                lock.release()
+            return self._send(
+                200, wav_bytes(out["audio"], out["sampling_rate"]), "audio/wav"
+            )
+
         def do_GET(self):  # noqa: N802
             url = urllib.parse.urlparse(self.path)
             q = {k: v[0] for k, v in urllib.parse.parse_qs(url.query).items()}
             if url.path == "/health":
                 return self._json(200, {"ok": True})
+            if url.path in ("/", "/index.html"):
+                return self._send(200, GUI_HTML.encode(), "text/html; charset=utf-8")
             if url.path not in ("/tts", "/tts.json"):
                 return self._json(404, {"error": "not found"})
             text = q.get("text", "")
