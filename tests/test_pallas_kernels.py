@@ -111,3 +111,60 @@ class TestRelativeSelfAttention:
             q, q, q, rel, rel, mask, window=4, interpret=True
         )
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestWNStack:
+    """Fused WN kernel ≡ the XLA layer loop on identical parameters."""
+
+    def make_wn(self, use_pallas, L=4, C=32, gin=16):
+        from vispeech_tpu.ops.wavenet import WN
+
+        return WN(hidden_channels=C, kernel_size=5, dilation_rate=1,
+                  n_layers=L, gin_channels=gin, use_pallas=use_pallas)
+
+    @pytest.mark.parametrize("with_g", [True, False])
+    def test_matches_xla(self, with_g):
+        from vispeech_tpu.ops.masking import length_mask
+
+        B, T, C, gin = 2, 100, 32, 16
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(B, T, C), jnp.float32)
+        g = jnp.asarray(rng.randn(B, 1, gin), jnp.float32) if with_g else None
+        mask = length_mask(jnp.asarray([100, 63]), T, jnp.float32)
+
+        wn_xla = self.make_wn(False, C=C, gin=gin)
+        wn_pl = self.make_wn(True, C=C, gin=gin)
+        params = wn_xla.init(jax.random.PRNGKey(0), x, mask, g=g)
+        ref = wn_xla.apply(params, x, mask, g=g)
+        out = wn_pl.apply(params, x, mask, g=g)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_param_tree_identical(self):
+        x = jnp.zeros((1, 16, 32))
+        mask = jnp.ones((1, 16, 1))
+        g = jnp.zeros((1, 1, 16))
+        p_xla = self.make_wn(False).init(jax.random.PRNGKey(0), x, mask, g=g)
+        p_pl = self.make_wn(True).init(jax.random.PRNGKey(0), x, mask, g=g)
+        assert jax.tree_util.tree_structure(p_xla) == jax.tree_util.tree_structure(p_pl)
+        for a, b in zip(jax.tree_util.tree_leaves(p_xla),
+                        jax.tree_util.tree_leaves(p_pl)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_posterior_encoder_16_layers(self):
+        """The enc_q configuration: 16 layers, k5, matches XLA."""
+        from vispeech_tpu.ops.masking import length_mask
+
+        B, T, C = 1, 64, 24
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(B, T, C), jnp.float32)
+        mask = length_mask(jnp.asarray([50]), T, jnp.float32)
+        wn_xla = self.make_wn(False, L=16, C=C, gin=8)
+        wn_pl = self.make_wn(True, L=16, C=C, gin=8)
+        g = jnp.asarray(rng.randn(B, 1, 8), jnp.float32)
+        params = wn_xla.init(jax.random.PRNGKey(0), x, mask, g=g)
+        ref = wn_xla.apply(params, x, mask, g=g)
+        out = wn_pl.apply(params, x, mask, g=g)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-5)

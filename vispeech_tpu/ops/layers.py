@@ -103,7 +103,12 @@ def _weight_norm(v: Array, g: Array) -> Array:
 
 
 class WNConv1d(nn.Module):
-    """Weight-normalized Conv1d (torch.nn.utils.weight_norm layout: v, g)."""
+    """Weight-normalized Conv1d (torch.nn.utils.weight_norm layout: v, g).
+
+    ``effective_weights(cin)`` exposes the normalized kernel + bias so fused
+    Pallas paths (ops/pallas/wn_stack.py) can consume the exact same
+    parameters the XLA path trains.
+    """
 
     features: int
     kernel_size: int = 1
@@ -115,8 +120,8 @@ class WNConv1d(nn.Module):
     kernel_init: Callable = torch_conv_kernel_init
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        cin = x.shape[-1]
+    def effective_weights(self, cin: int) -> Tuple[Array, Optional[Array]]:
+        """(normalized kernel [k, cin, cout], bias [cout] or None)."""
         kshape = (self.kernel_size, cin // self.feature_group_count, self.features)
         v = self.param("v", self.kernel_init, kshape)
         g = self.param(
@@ -125,6 +130,18 @@ class WNConv1d(nn.Module):
             (self.features,),
         )
         kernel = _weight_norm(v, g)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                torch_conv_bias_init(cin // self.feature_group_count * self.kernel_size),
+                (self.features,),
+            )
+        return kernel, bias
+
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        kernel, bias = self.effective_weights(cin)
         if self.padding is None:
             p = (self.kernel_size * self.dilation - self.dilation) // 2
             padding = ((p, p),)
@@ -142,12 +159,7 @@ class WNConv1d(nn.Module):
             feature_group_count=self.feature_group_count,
             precision=jax.lax.Precision.HIGHEST,
         )
-        if self.use_bias:
-            bias = self.param(
-                "bias",
-                torch_conv_bias_init(cin // self.feature_group_count * self.kernel_size),
-                (self.features,),
-            )
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 
