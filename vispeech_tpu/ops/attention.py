@@ -66,7 +66,12 @@ def _absolute_to_relative(x: Array) -> Array:
 
 def _pallas_attention_viable(key_mask) -> bool:
     """The fused Pallas path runs on TPU backends (tests force it via the
-    module flag + interpret mode)."""
+    module flag + interpret mode).  VISPEECH_DISABLE_PALLAS=1 disables all
+    auto-selected Pallas paths (debugging escape hatch)."""
+    import os
+
+    if os.environ.get("VISPEECH_DISABLE_PALLAS"):
+        return False
     return jax.default_backend() == "tpu" and key_mask is not None
 
 

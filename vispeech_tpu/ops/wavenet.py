@@ -55,10 +55,16 @@ class WN(nn.Module):
             self.dilation_rate == 1
             and (deterministic or self.p_dropout == 0.0)
         )
+        import os
+
         use_pallas = (
             self.use_pallas
             if self.use_pallas is not None
-            else (pallas_ok and jax.default_backend() == "tpu")
+            else (
+                pallas_ok
+                and jax.default_backend() == "tpu"
+                and not os.environ.get("VISPEECH_DISABLE_PALLAS")
+            )
         )
         if use_pallas and pallas_ok:
             return self._fused(x, x_mask, g)

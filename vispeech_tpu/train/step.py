@@ -109,15 +109,16 @@ def create_train_state(
     model_g = Synthesizer.from_config(cfg, n_vocab)
     model_d = MultiPeriodDiscriminator()
     rng, init_g, init_d, sample, dropout = jax.random.split(rng, 5)
-    params_g = model_g.init(
+    # jit the inits: eager init dispatches each op separately (pathological
+    # over remote-device transports and slow everywhere)
+    params_g = jax.jit(partial(model_g.init, deterministic=True))(
         {"params": init_g, "sample": sample, "dropout": dropout},
         batch.phonemes, batch.phoneme_lengths, batch.f0, batch.energy,
         batch.duration, batch.spec, batch.spec_lengths, batch.sid,
-        deterministic=True,
     )
     seg = cfg.train.segment_size
     dummy_wav = jnp.zeros((batch.wav.shape[0], seg, 1), batch.wav.dtype)
-    params_d = model_d.init(init_d, dummy_wav, dummy_wav)
+    params_d = jax.jit(model_d.init)(init_d, dummy_wav, dummy_wav)
     tx_g = make_optimizer(cfg, steps_per_epoch, freeze=g_freeze_keys(cfg))
     tx_d = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(
