@@ -156,3 +156,47 @@ class TestNormalization:
         tn = TextNormalizer()
         sents = tn.split("你好，世界。再见！")
         assert sents == ["你好，", "世界。", "再见！"]
+
+
+class TestZhLexiconFallback:
+    """Hanzi G2P from a user lexicon when pypinyin is absent
+    (load_zh_lexicon + longest match + tone sandhi)."""
+
+    def test_lexicon_g2p(self, tmp_path):
+        from vispeech_tpu.text import frontends
+
+        lex = tmp_path / "zh.lex"
+        lex.write_text(
+            "你好 ni3 hao3\n你 ni3\n好 hao3\n世界 shi4 jie4\n这 zhe4\n是 shi4\n"
+        )
+        saved = dict(frontends._ZH_LEXICON)
+        saved_len = frontends._ZH_LEX_MAXLEN
+        try:
+            frontends.load_zh_lexicon(str(lex))
+            out = frontends._lexicon_zh_g2p("你好世界")
+            # 你好: third-tone sandhi → ni2 hao3 (word-internal 3-3)
+            assert out == ["n", "i2", "h", "ao3", "sh", "iii4", "j", "ie4"]
+            out2 = frontends._lexicon_zh_g2p("这是你好,")
+            assert out2[-1] == ","
+        finally:
+            frontends._ZH_LEXICON.clear()
+            frontends._ZH_LEXICON.update(saved)
+            frontends._ZH_LEX_MAXLEN = saved_len
+
+    def test_missing_hanzi_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from vispeech_tpu.text import frontends
+
+        lex = tmp_path / "zh.lex"
+        lex.write_text("你 ni3\n")
+        saved = dict(frontends._ZH_LEXICON)
+        saved_len = frontends._ZH_LEX_MAXLEN
+        try:
+            frontends.load_zh_lexicon(str(lex))
+            with _pytest.raises(frontends.FrontendUnavailable):
+                frontends._lexicon_zh_g2p("你猫")
+        finally:
+            frontends._ZH_LEXICON.clear()
+            frontends._ZH_LEXICON.update(saved)
+            frontends._ZH_LEX_MAXLEN = saved_len

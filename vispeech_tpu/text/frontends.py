@@ -78,6 +78,70 @@ def zh_to_phonemes(text: str) -> List[str]:
     return phones
 
 
+_ZH_LEXICON: dict = {}   # word → list of tone3 pinyin syllables
+_ZH_LEX_MAXLEN = 1
+
+
+def load_zh_lexicon(path: str) -> None:
+    """Load a hanzi→pinyin lexicon (lines ``word pin1 yin1 ...``) used for
+    Mandarin G2P when pypinyin is unavailable.  Longest-match segmentation +
+    tone sandhi still apply, so multi-character entries give jieba-like
+    behavior for the words they cover."""
+    global _ZH_LEX_MAXLEN
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split()
+            if len(parts) >= 2:
+                _ZH_LEXICON[parts[0]] = parts[1:]
+                _ZH_LEX_MAXLEN = max(_ZH_LEX_MAXLEN, len(parts[0]))
+
+
+def _lexicon_zh_g2p(text: str) -> List[str]:
+    """Greedy longest-match lexicon G2P with tone sandhi (pypinyin-free)."""
+    from vispeech_tpu.text.sandhi import ToneSandhi
+
+    sandhi = ToneSandhi()
+    words = []
+    i = 0
+    while i < len(text):
+        for L in range(min(_ZH_LEX_MAXLEN, len(text) - i), 0, -1):
+            w = text[i:i + L]
+            if w in _ZH_LEXICON:
+                words.append((w, _ZH_LEXICON[w]))
+                i += L
+                break
+        else:
+            ch = text[i]
+            if ch in _ZH_PUNCT_PASSTHROUGH:
+                words.append((ch, None))
+            elif re.match(r"[一-鿿]", ch):
+                raise FrontendUnavailable(
+                    f"hanzi {ch!r} not in the loaded zh lexicon"
+                )
+            i += 1
+    phones: List[str] = []
+    for w, sylls in words:
+        if sylls is None:
+            phones.append(w)
+            continue
+        initials, finals = [], []
+        for s in sylls:
+            ph = pinyin_syllable_to_phones(s)
+            if len(ph) == 2:
+                initials.append(ph[0])
+                finals.append(ph[1])
+            else:
+                initials.append("")
+                finals.append(ph[0])
+        finals = sandhi.modified_tone(w, "n", finals)
+        for c, v in zip(initials, finals):
+            if c:
+                phones.append(c)
+            if v:
+                phones.append(v)
+    return phones
+
+
 def _zh_sentence_to_phonemes(text: str) -> List[str]:
     if not text:
         return []
@@ -85,11 +149,14 @@ def _zh_sentence_to_phonemes(text: str) -> List[str]:
         from vispeech_tpu.text.zh_g2p import hanzi_to_phonemes
 
         return hanzi_to_phonemes(text)
+    if _ZH_LEXICON:
+        return _lexicon_zh_g2p(text)
     # Degraded mode: punctuation passes through, hanzi are unpronounceable.
     out: List[str] = []
     if re.search(r"[一-鿿]", text):
         raise FrontendUnavailable(
-            "Mandarin G2P requires pypinyin (not installed); use [P] pinyin blocks"
+            "Mandarin G2P requires pypinyin (not installed); use [P] pinyin "
+            "blocks or load a lexicon via load_zh_lexicon()"
         )
     for ch in text:
         if ch in _ZH_PUNCT_PASSTHROUGH:
