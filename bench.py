@@ -29,7 +29,7 @@ def bench_e2e(cfg, on_tpu: bool):
     from vispeech_tpu.text.symbols import N_SYMBOLS
 
     model = Synthesizer.from_config(cfg, N_SYMBOLS)
-    B, N, T = (4, 192, 1408) if on_tpu else (1, 16, 64)
+    B, N, T = (8, 192, 1408) if on_tpu else (1, 16, 64)
     rng = np.random.RandomState(0)
     ph = jnp.asarray(rng.randint(1, N_SYMBOLS, (B, N)), jnp.int32)
     lens = jnp.full((B,), N, jnp.int32)

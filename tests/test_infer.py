@@ -172,6 +172,40 @@ class TestServer:
         n_samples = int(sum(prosody["duration"])) * HOP
         assert len(wav) == 44 + 2 * n_samples
 
+    def test_post_vc(self, server):
+        import io
+        import struct
+
+        from scipy.io import wavfile
+
+        wav = (np.random.RandomState(0).randn(HOP * 40) * 0.1 * 32767).astype(np.int16)
+        buf = io.BytesIO()
+        wavfile.write(buf, 8000, wav)
+        req = urllib.request.Request(
+            f"{server}/vc?src=1&tgt=2", data=buf.getvalue(),
+            headers={"Content-Type": "audio/wav"}, method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = r.read()
+        assert out[:4] == b"RIFF"
+        n_samples = struct.unpack("<I", out[40:44])[0] // 2
+        assert n_samples == 40 * HOP
+
+    def test_post_vc_wrong_rate(self, server):
+        import io
+        import urllib.error
+
+        from scipy.io import wavfile
+
+        buf = io.BytesIO()
+        wavfile.write(buf, 16000, np.zeros(1600, np.int16))
+        req = urllib.request.Request(
+            f"{server}/vc", data=buf.getvalue(), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+
     def test_post_bad_json(self, server):
         import urllib.error
 

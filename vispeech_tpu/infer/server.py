@@ -113,11 +113,55 @@ def make_handler(engine, lock: threading.Lock):
             self._send(code, json.dumps(obj, ensure_ascii=False).encode(),
                        "application/json")
 
+        def _do_vc(self, url):
+            """POST /vc?src=<spk>&tgt=<spk> with a WAV body → converted WAV
+            (flow-based any-to-any conversion, reference models.py:724-732)."""
+            import io
+
+            from scipy.io import wavfile
+
+            q = {k: v[0] for k, v in urllib.parse.parse_qs(url.query).items()}
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                sr, data = wavfile.read(io.BytesIO(self.rfile.read(length)))
+            except Exception as e:  # noqa: BLE001
+                return self._json(400, {"error": f"bad WAV body: {e}"})
+            if sr != engine.cfg.data.sampling_rate:
+                return self._json(400, {
+                    "error": f"sample rate {sr} != {engine.cfg.data.sampling_rate}"
+                })
+            if data.dtype.kind == "i":
+                wav = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+            else:
+                wav = data.astype(np.float32)
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+
+            def spk(name, default):
+                v = q.get(name, default)
+                return int(v) if v.isdigit() else v
+
+            if not lock.acquire(blocking=False):
+                return self._json(503, {"error": "server busy"})
+            try:
+                out = engine.voice_conversion(
+                    wav, speaker_src=spk("src", "0"), speaker_tgt=spk("tgt", "0")
+                )
+            except Exception as e:  # noqa: BLE001
+                return self._json(500, {"error": str(e)})
+            finally:
+                lock.release()
+            return self._send(
+                200, wav_bytes(out["audio"], out["sampling_rate"]), "audio/wav"
+            )
+
         def do_POST(self):  # noqa: N802
             """POST /tts with a JSON body — the prosody-editing contract
             (gui.py:82-113): per-phoneme `pitch` (Hz), `duration` (frames)
             and `energy` arrays override the predictors."""
             url = urllib.parse.urlparse(self.path)
+            if url.path == "/vc":
+                return self._do_vc(url)
             if url.path != "/tts":
                 return self._json(404, {"error": "not found"})
             try:

@@ -433,8 +433,26 @@ class Synthesizer(nn.Module):
         if max_len is not None:
             z = z[:, :max_len]
             frame_mask = frame_mask[:, :max_len]
-        o = self.dec(z, g=g)
+        o = self._decode(z, g)
         return o, frame_mask, (z, z_p, m_p, logs_p), duration, f0, energy
+
+    def _decode(self, z: Array, g: Optional[Array]) -> Array:
+        """Vocoder call with the serving dtype policy: on TPU the decoder —
+        where nearly all inference FLOPs and activation memory live — runs in
+        bfloat16 (conv kernels cast to input dtype; waveform returned f32).
+        VISPEECH_DISABLE_BF16_DECODER=1 forces float32."""
+        import os
+
+        if (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("VISPEECH_DISABLE_BF16_DECODER")
+        ):
+            o = self.dec(
+                z.astype(jnp.bfloat16),
+                g=g.astype(jnp.bfloat16) if g is not None else None,
+            )
+            return o.astype(jnp.float32)
+        return self.dec(z, g=g)
 
     def predict_durations(
         self,
@@ -468,5 +486,5 @@ class Synthesizer(nn.Module):
         )
         z_p = self.flow(z, y_mask, g=g_src, deterministic=deterministic)
         z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True, deterministic=deterministic)
-        o_hat = self.dec(z_hat * y_mask, g=g_tgt)
+        o_hat = self._decode(z_hat * y_mask, g_tgt)
         return o_hat, y_mask, (z, z_p, z_hat)
