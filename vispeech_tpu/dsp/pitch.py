@@ -304,6 +304,26 @@ def frame_energy(
     return e[:n_frames]
 
 
+F0_BIN = 256
+F0_MIN, F0_MAX = 50.0, 1100.0
+_F0_MEL_MIN = 1127.0 * np.log(1.0 + F0_MIN / 700.0)
+_F0_MEL_MAX = 1127.0 * np.log(1.0 + F0_MAX / 700.0)
+
+
+def f0_to_coarse(f0: np.ndarray) -> np.ndarray:
+    """256-bin mel-scale F0 quantizer (reference utils.py:262-278; bin 1 =
+    unvoiced/low, bins 1..255).  torch note: torch's (x+0.5).long() truncates
+    while np.rint rounds half-to-even — we keep the numpy behavior."""
+    f0 = np.asarray(f0, np.float64)
+    f0_mel = 1127.0 * np.log(1.0 + f0 / 700.0)
+    scaled = (f0_mel - _F0_MEL_MIN) * (F0_BIN - 2) / (_F0_MEL_MAX - _F0_MEL_MIN) + 1
+    f0_mel = np.where(f0_mel > 0, scaled, f0_mel)
+    f0_mel = np.clip(f0_mel, 1, F0_BIN - 1)
+    coarse = np.rint(f0_mel).astype(np.int64)
+    assert coarse.max() <= 255 and coarse.min() >= 1, (coarse.max(), coarse.min())
+    return coarse
+
+
 def phoneme_average(track: np.ndarray, durations: np.ndarray) -> np.ndarray:
     """Mean of a frame-level track over each phoneme's duration span
     (reference f0energy.py:89-109); zero-duration phonemes get 0."""

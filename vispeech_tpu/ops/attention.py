@@ -248,6 +248,100 @@ class FFN(nn.Module):
         return y * x_mask
 
 
+class Decoder(nn.Module):
+    """Causal transformer decoder: proximal-biased causal self-attention,
+    cross-attention over encoder states, causal conv-FFN — post-norm
+    (reference attentions.py:50-99; API-surface parity, unused by the
+    Synthesizer just as in the reference)."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+    proximal_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,        # [B, T_t, C]
+        x_mask: Array,   # [B, T_t, 1]
+        h: Array,        # [B, T_s, C] encoder states
+        h_mask: Array,   # [B, T_s, 1]
+        deterministic: bool = True,
+    ) -> Array:
+        T_t = x.shape[1]
+        causal = jnp.tril(jnp.ones((T_t, T_t), x.dtype))
+        self_mask = (
+            x_mask[:, None, :, 0, None] * x_mask[:, None, None, :, 0]
+        ) * causal[None, None]
+        cross_mask = x_mask[:, None, :, 0, None] * h_mask[:, None, None, :, 0]
+        x = x * x_mask
+        for i in range(self.n_layers):
+            y = MultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout, proximal_bias=self.proximal_bias,
+                name=f"self_attn_{i}",
+            )(x, x, self_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(name=f"norm0_{i}")(x + y)
+
+            y = MultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout, name=f"cross_attn_{i}",
+            )(x, h, cross_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(name=f"norm1_{i}")(x + y)
+
+            y = FFN(
+                self.hidden_channels, self.filter_channels, self.kernel_size,
+                p_dropout=self.p_dropout, causal=True, name=f"ffn_{i}",
+            )(x, x_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(name=f"norm2_{i}")(x + y)
+        return x * x_mask
+
+
+class FFT(nn.Module):
+    """Causal self-attention + causal conv-FFN stack (reference
+    attentions.py:303-349; API-surface parity)."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+    proximal_bias: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: Array, x_mask: Array, deterministic: bool = True
+    ) -> Array:
+        T = x.shape[1]
+        causal = jnp.tril(jnp.ones((T, T), x.dtype))
+        attn_mask = (
+            x_mask[:, None, :, 0, None] * x_mask[:, None, None, :, 0]
+        ) * causal[None, None]
+        x = x * x_mask
+        for i in range(self.n_layers):
+            y = MultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout, proximal_bias=self.proximal_bias,
+                name=f"self_attn_{i}",
+            )(x, x, attn_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(name=f"norm0_{i}")(x + y)
+            y = FFN(
+                self.hidden_channels, self.filter_channels, self.kernel_size,
+                p_dropout=self.p_dropout, causal=True, name=f"ffn_{i}",
+            )(x, x_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(name=f"norm1_{i}")(x + y)
+        return x * x_mask
+
+
 class Encoder(nn.Module):
     """Post-norm transformer encoder with windowed relative attention
     (reference attentions.py:13-47)."""
