@@ -115,12 +115,14 @@ class MultiHeadAttention(nn.Module):
         kh = k.reshape(B, T_s, self.n_heads, d_k).transpose(0, 2, 1, 3)
         vh = v.reshape(B, T_s, self.n_heads, d_k).transpose(0, 2, 1, 3)
 
+        # strictly inference-only (no JVP rule on the kernel; training keeps
+        # the XLA path so autodiff and attention dropout work)
         pallas_ok = (
             self.window_size is not None
             and T_s == T_t
             and not self.proximal_bias
             and self.block_length is None
-            and (deterministic or self.p_dropout == 0.0)
+            and deterministic
             and key_mask is not None
         )
         use_pallas = (

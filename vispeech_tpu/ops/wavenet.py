@@ -51,10 +51,9 @@ class WN(nn.Module):
         deterministic: bool = True,
     ) -> Array:
         C = self.hidden_channels
-        pallas_ok = (
-            self.dilation_rate == 1
-            and (deterministic or self.p_dropout == 0.0)
-        )
+        # strictly inference-only: the kernel defines no JVP, and training
+        # wants the XLA path's standard forward+backward anyway
+        pallas_ok = self.dilation_rate == 1 and deterministic
         import os
 
         use_pallas = (
