@@ -200,3 +200,40 @@ class TestZhLexiconFallback:
             frontends._ZH_LEXICON.clear()
             frontends._ZH_LEXICON.update(saved)
             frontends._ZH_LEX_MAXLEN = saved_len
+
+
+class TestLexiconGenerator:
+    def test_known_syllables(self):
+        from vispeech_tpu.text.lexicon import generate_lexicon
+
+        lex = generate_lexicon(with_tone=False)
+        assert lex["zhuang"] == "zh uang"
+        assert lex["yi"] == " i".strip() or lex["yi"] == "i"
+        assert lex["wu"] == "u"
+        assert lex["yu"] == "v"
+        assert lex["ju"] == "j v"
+        assert lex["liu"] == "l iou"
+        assert lex["dui"] == "d uei"
+        assert lex["lun"] == "l uen"
+        assert lex["zi"] == "z ii"
+        assert lex["shi"] == "sh iii"
+        assert lex["er"] == "er"
+        # impossible combinations are absent
+        assert "bong" not in lex
+        assert "kiu" not in lex
+
+    def test_round_trip_with_parser(self):
+        """Every generated toned syllable must parse back to its phones
+        (ties lexicon.py and pinyin.py together)."""
+        from vispeech_tpu.text.lexicon import generate_lexicon
+        from vispeech_tpu.text.pinyin import pinyin_syllable_to_phones
+
+        lex = generate_lexicon(with_tone=True)
+        assert len(lex) > 1500
+        mismatches = []
+        for syllable, phones in lex.items():
+            expect = phones.split(" ")
+            got = pinyin_syllable_to_phones(syllable)
+            if got != expect:
+                mismatches.append((syllable, expect, got))
+        assert not mismatches, mismatches[:10]

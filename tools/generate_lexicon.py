@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Emit the Mandarin syllable→phones dictionary for MFA
+(reference text/frontend/generate_lexicon.py; syllables-as-words convention).
+
+    python tools/generate_lexicon.py --with-tone -o mfa_temp/zh_dict.dict
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-o", "--output", default="mfa_temp/zh_dict.dict")
+    p.add_argument("--with-tone", action="store_true", default=True)
+    p.add_argument("--no-tone", dest="with_tone", action="store_false")
+    p.add_argument("--with-erhua", action="store_true")
+    args = p.parse_args()
+
+    from vispeech_tpu.text.lexicon import generate_lexicon
+
+    lex = generate_lexicon(with_tone=args.with_tone, with_erhua=args.with_erhua)
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output, "w", encoding="utf-8") as f:
+        for syllable, phones in lex.items():
+            f.write(f"{syllable}\t{phones}\n")
+    print(f"wrote {args.output}: {len(lex)} syllables")
+
+
+if __name__ == "__main__":
+    main()
