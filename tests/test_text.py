@@ -237,3 +237,148 @@ class TestLexiconGenerator:
             if got != expect:
                 mismatches.append((syllable, expect, got))
         assert not mismatches, mismatches[:10]
+
+
+class TestEnNormalization:
+    """English normalizer (reference text/frontend/normalizer/)."""
+
+    def test_number_to_words(self):
+        from vispeech_tpu.text.en_normalization import number_to_words
+
+        assert number_to_words(0) == "zero"
+        assert number_to_words(13) == "thirteen"
+        assert number_to_words(21) == "twenty-one"
+        assert number_to_words(105) == "one hundred five"
+        assert number_to_words(3042) == "three thousand forty-two"
+        assert number_to_words(1200000) == "one million two hundred thousand"
+
+    def test_ordinals(self):
+        from vispeech_tpu.text.en_normalization import ordinal_to_words
+
+        assert ordinal_to_words(1) == "first"
+        assert ordinal_to_words(2) == "second"
+        assert ordinal_to_words(3) == "third"
+        assert ordinal_to_words(12) == "twelfth"
+        assert ordinal_to_words(20) == "twentieth"
+        assert ordinal_to_words(23) == "twenty-third"
+        assert ordinal_to_words(100) == "one hundredth"
+
+    def test_normalize_numbers_cascade(self):
+        from vispeech_tpu.text.en_normalization import normalize_numbers
+
+        # commas removed, then verbalized; the year-style grouping applies to
+        # any 1000<n<3000 and the dollar expansion's digits are re-expanded
+        # by the trailing _number_re pass — both reference behaviors
+        # (numbers.py:62-98)
+        assert normalize_numbers("1,234 things") == "twelve thirty-four things"
+        assert normalize_numbers("4,321 things") == (
+            "four thousand three hundred twenty-one things"
+        )
+        assert normalize_numbers("$2.50") == "two dollars, fifty cents"
+        assert normalize_numbers("$1") == "one dollar"
+        assert normalize_numbers("£5") == "five pounds"
+        # the trailing digits are re-expanded as a whole number, as in the
+        # reference cascade ("point fourteen", not "point one four")
+        assert normalize_numbers("3.14") == "three point fourteen"
+        assert normalize_numbers("the 2nd time") == "the second time"
+
+    def test_year_style_reading(self):
+        from vispeech_tpu.text.en_normalization import normalize_numbers
+
+        # inflect group=2 zero='oh' emulation (numbers.py:62-74)
+        assert normalize_numbers("in 1999") == "in nineteen ninety-nine"
+        assert normalize_numbers("in 1905") == "in nineteen oh five"
+        assert normalize_numbers("in 2000") == "in two thousand"
+        assert normalize_numbers("in 2005") == "in two thousand five"
+        assert normalize_numbers("in 1900") == "in nineteen hundred"
+
+    def test_full_normalize(self):
+        from vispeech_tpu.text.en_normalization import normalize
+
+        # accents stripped, lowercased, charset restricted (normalizer.py:21-34)
+        assert normalize("Café, 3 items!") == "cafe, three items!"
+        assert normalize("He said: i.e. now") == "he said that is now"
+
+    def test_width_folding(self):
+        from vispeech_tpu.text.en_normalization import (
+            full2half_width,
+            half2full_width,
+        )
+
+        assert full2half_width("ＡＢＣ　１２３") == "ABC 123"
+        assert half2full_width("AB 1") == "ＡＢ　１"
+
+    def test_en_g2p_expands_digits_via_lexicon(self):
+        from vispeech_tpu.text import frontends
+
+        saved = dict(frontends._EN_LEXICON)
+        frontends._EN_LEXICON.update({
+            "twenty": ["T", "W", "EH1", "N", "T", "IY0"],
+            "one": ["W", "AH1", "N"],
+        })
+        try:
+            phones = frontends.en_to_phonemes("21")
+            assert phones == ["T", "W", "EH1", "N", "T", "IY0", "-",
+                              "W", "AH1", "N"]
+        finally:
+            frontends._EN_LEXICON.clear()
+            frontends._EN_LEXICON.update(saved)
+
+
+class TestPhonetics:
+    """Vocab + ARPABET phonologies (reference text/frontend/vocab.py,
+    arpabet.py)."""
+
+    def test_vocab_specials_and_order(self):
+        from vispeech_tpu.text.phonetics import Vocab
+
+        v = Vocab(["a", "b", "a"])
+        assert len(v) == 6  # 4 specials + a, b (dedup)
+        assert v.padding_index == 0
+        assert v.unk_index == 1
+        assert v.start_index == 2
+        assert v.end_index == 3
+        assert v.lookup("a") == 4 and v.reverse(5) == "b"
+        assert v.lookup("MISSING") == v.unk_index  # unk fallback
+        v.add_symbols(["c", "b"])
+        assert v.lookup("c") == 6 and len(v) == 7
+
+    def test_vocab_without_specials(self):
+        from vispeech_tpu.text.phonetics import Vocab
+
+        v = Vocab(["x"], padding_symbol=None, unk_symbol=None,
+                  start_symbol=None, end_symbol=None)
+        assert len(v) == 1 and v.num_specials == 0
+        assert v.padding_index == -1
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            v.lookup("missing")
+
+    def test_arpabet_sizes(self):
+        from vispeech_tpu.text.phonetics import Arpabet, ArpabetWithStress
+
+        a = Arpabet(backend=lambda s: [])
+        assert len(a.phonemes) == 39
+        assert a.vocab_size == 47  # 39 + 4 punct + 4 specials
+        s = ArpabetWithStress(backend=lambda s: [])
+        assert len(s.phonemes) == 69
+        assert s.vocab_size == 77
+
+    def test_phoneticize_strips_stress_and_filters(self):
+        from vispeech_tpu.text.phonetics import Arpabet, ArpabetWithStress
+
+        fake = lambda s: ["HH", "AH0", "L", "OW1", " ", "@", "!"]
+        a = Arpabet(backend=fake)
+        assert a.phoneticize("hello!") == ["HH", "AH", "L", "OW", "!"]
+        sw = ArpabetWithStress(backend=fake)
+        assert sw.phoneticize("hello!") == ["HH", "AH0", "L", "OW1", "!"]
+
+    def test_roundtrip_and_start_end(self):
+        from vispeech_tpu.text.phonetics import Arpabet
+
+        a = Arpabet(backend=lambda s: ["K", "AE1", "T"])
+        phones = a.phoneticize("cat", add_start_end=True)
+        assert phones[0] == "<s>" and phones[-1] == "</s>"
+        ids = a.numericalize(phones)
+        assert a.reverse(ids) == phones
+        assert a("cat") == a.numericalize(["K", "AE", "T"])

@@ -241,9 +241,16 @@ def load_en_lexicon(path: str) -> None:
 
 
 def en_to_phonemes(text: str) -> List[str]:
-    """English text → ARPABET phones (reference text/en_frontend.py:7-17)."""
+    """English text → ARPABET phones (reference text/en_frontend.py:7-17).
+
+    Digits/currency/ordinals are verbalized first (reference ships this in
+    text/frontend/normalizer/numbers.py; g2p_en does it internally, but the
+    lexicon-only fallback path needs it done up front)."""
     from string import punctuation
 
+    from vispeech_tpu.text.en_normalization import normalize_numbers
+
+    text = normalize_numbers(text)
     text = text.rstrip(punctuation)
     words = re.split(r"([,;.\-\?\!\s+])", text)
     phones: List[str] = []
