@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from vispeech_tpu.ops.layers import WNConv1d, torch_conv_kernel_init
 from vispeech_tpu.ops.resblock import leaky_relu
 
+from vispeech_tpu.ops.precision import get_matmul_precision
+
 Array = jax.Array
 
 
@@ -55,7 +57,7 @@ class WNConv2d(nn.Module):
                 (self.padding[1], self.padding[1]),
             ),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=get_matmul_precision(),
         )
         bias = self.param(
             "bias",

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 
 from vispeech_tpu.ops.layers import Conv1d, LayerNorm
 
+from vispeech_tpu.ops.precision import get_matmul_precision
+
 Array = jax.Array
 
 
@@ -159,7 +161,7 @@ class MultiHeadAttention(nn.Module):
 
         scale = 1.0 / math.sqrt(d_k)
         scores = jnp.einsum(
-            "bhtd,bhsd->bhts", qh * scale, kh, precision=jax.lax.Precision.HIGHEST
+            "bhtd,bhsd->bhts", qh * scale, kh, precision=get_matmul_precision()
         )
 
         if self.window_size is not None:
@@ -179,7 +181,7 @@ class MultiHeadAttention(nn.Module):
             # [B, H, T, 2T−1] = q · rel_kᵀ
             rel_logits = jnp.einsum(
                 "bhtd,hmd->bhtm", qh * scale, rk.astype(qh.dtype),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=get_matmul_precision(),
             )
             scores = scores + _relative_to_absolute(rel_logits)
 
@@ -198,7 +200,7 @@ class MultiHeadAttention(nn.Module):
         p_attn = jax.nn.softmax(scores, axis=-1)
         p_attn = nn.Dropout(self.p_dropout)(p_attn, deterministic=deterministic)
         out = jnp.einsum(
-            "bhts,bhsd->bhtd", p_attn, vh, precision=jax.lax.Precision.HIGHEST
+            "bhts,bhsd->bhtd", p_attn, vh, precision=get_matmul_precision()
         )
 
         if self.window_size is not None:
@@ -206,7 +208,7 @@ class MultiHeadAttention(nn.Module):
             rv = jax.vmap(lambda r: _pad_rel_embeddings(r, T_t, self.window_size))(rel_v)
             out = out + jnp.einsum(
                 "bhtm,hmd->bhtd", rel_weights, rv.astype(out.dtype),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=get_matmul_precision(),
             )
 
         out = out.transpose(0, 2, 1, 3).reshape(B, T_t, self.channels)

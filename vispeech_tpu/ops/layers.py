@@ -18,6 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vispeech_tpu.ops.precision import get_matmul_precision
+
 Array = jax.Array
 
 # dimension numbers for [B, T, C] convs with kernels [K, Cin, Cout]
@@ -85,7 +87,7 @@ class Conv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             dimension_numbers=DIMENSION_NUMBERS,
             feature_group_count=self.feature_group_count,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=get_matmul_precision(),
         )
         if self.use_bias:
             binit = self.bias_init or torch_conv_bias_init(
@@ -157,7 +159,7 @@ class WNConv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             dimension_numbers=DIMENSION_NUMBERS,
             feature_group_count=self.feature_group_count,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=get_matmul_precision(),
         )
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -205,7 +207,7 @@ class WNConvTranspose1d(nn.Module):
             padding=((pad, pad),),
             lhs_dilation=(self.stride,),
             dimension_numbers=DIMENSION_NUMBERS,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=get_matmul_precision(),
         )
         bias = self.param(
             "bias", torch_conv_bias_init(cin * self.kernel_size // self.stride),

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from vispeech_tpu.ops.masking import generate_path
 
+from vispeech_tpu.ops.precision import get_matmul_precision
+
 Array = jax.Array
 
 
@@ -33,7 +35,7 @@ def length_regulate(
     duration = jnp.maximum(duration, 0).astype(jnp.int32)
     path = generate_path(duration, t_frames).astype(x.dtype)  # [B, T, N]
     frames = jnp.einsum(
-        "btn,bnc->btc", path, x, precision=jax.lax.Precision.HIGHEST
+        "btn,bnc->btc", path, x, precision=get_matmul_precision()
     )
     frame_lengths = jnp.sum(duration, axis=1)
     return frames, frame_lengths
