@@ -33,13 +33,17 @@ BASELINE = 500.0  # audio-seconds/s/chip (BASELINE.md north star)
 
 
 def _timed_loop(loop_fn, n_iters: int) -> float:
-    """Seconds for n_iters net iterations of the jitted loop_fn(n)."""
-    float(loop_fn(1))  # compile + warm
+    """Seconds for n_iters net iterations of the jitted loop_fn(n).
+
+    n is passed as a traced scalar so both calls share ONE compilation —
+    a static n would recompile and charge compile time to the measurement.
+    """
+    float(loop_fn(jnp.int32(1)))  # compile + warm
     t0 = time.perf_counter()
-    float(loop_fn(n_iters + 1))
+    float(loop_fn(jnp.int32(n_iters + 1)))
     t1 = time.perf_counter()
     t2 = time.perf_counter()
-    float(loop_fn(1))
+    float(loop_fn(jnp.int32(1)))
     t3 = time.perf_counter()
     return max((t1 - t0) - (t3 - t2), 1e-9)
 
@@ -64,7 +68,7 @@ def bench_e2e(cfg, on_tpu: bool):
         ph, lens, T, sid=sid,
     )
 
-    @functools.partial(jax.jit, static_argnums=(1,))
+    @jax.jit
     def loop(variables, n):
         def body(i, carry):
             audio = model.apply(
@@ -104,7 +108,7 @@ def bench_vocoder(cfg, on_tpu: bool):
     params = jax.jit(gen.init)(jax.random.PRNGKey(2), z, g)
     params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
 
-    @functools.partial(jax.jit, static_argnums=(3,))
+    @jax.jit
     def loop(params, z, g, n):
         def body(i, carry):
             out = gen.apply(params, z + carry.astype(z.dtype), g)

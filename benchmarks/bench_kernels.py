@@ -23,13 +23,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(f, *args, n=30):
-    f(*args).block_until_ready()
+def timeit(f, *args, n=20):
+    """Honest device timing: all iterations inside one jitted fori_loop with
+    a full-output-reduction carry chained into the next iteration's first
+    argument, one scalar host fetch, dispatch overhead cancelled by a
+    1-iteration run.  (block_until_ready() does not synchronize on the
+    tunneled TPU runtime — naive dispatch loops measure nothing.)"""
+
+    @jax.jit
+    def loop(n_, *a):
+        def body(i, c):
+            aa = (a[0] + c.astype(a[0].dtype) * 1e-30,) + a[1:]
+            return jnp.float32(jnp.mean(f(*aa)))
+        return jax.lax.fori_loop(0, n_, body, jnp.float32(0))
+
+    float(loop(jnp.int32(1), *args))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        r = f(*args)
-    r.block_until_ready()
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+    float(loop(jnp.int32(n + 1), *args))
+    t1 = time.perf_counter()
+    t2 = time.perf_counter()
+    float(loop(jnp.int32(1), *args))
+    t3 = time.perf_counter()
+    return max((t1 - t0) - (t3 - t2), 1e-9) / n * 1e3  # ms
 
 
 def xla_relative_attention(q, k, v, rel_k, rel_v, key_mask, window):
@@ -87,13 +102,42 @@ def bench_wn(results, on_tpu):
     wn_xla = WN(C, 5, 1, L, gin_channels=gin, use_pallas=False)
     wn_pl = WN(C, 5, 1, L, gin_channels=gin, use_pallas=True)
     params = wn_xla.init(jax.random.PRNGKey(0), x, mask, g=g)
-    f_xla = jax.jit(lambda p, x: wn_xla.apply(p, x, mask, g=g))
-    f_pl = jax.jit(lambda p, x: wn_pl.apply(p, x, mask, g=g))
+    f_xla = lambda x: wn_xla.apply(params, x, mask, g=g)
+    f_pl = lambda x: wn_pl.apply(params, x, mask, g=g)
     results.append({
         "kernel": "wn_stack", "B": B, "T": T, "C": C, "L": L,
-        "pallas_ms": timeit(f_pl, params, x),
-        "xla_ms": timeit(f_xla, params, x),
+        "pallas_ms": timeit(f_pl, x),
+        "xla_ms": timeit(f_xla, x),
     })
+
+
+def bench_mrf(results, on_tpu):
+    """Fused MRF vocoder stage vs the XLA ResBlock1 path, at the two
+    low-channel stages that dominate decoder time."""
+    from vispeech_tpu.models.generator import Generator
+
+    cases = ((8, 180224, 64), (8, 720896, 32)) if on_tpu else ((1, 256, 16),)
+    for B, T, C in cases:
+        gen_stage = Generator(
+            resblock="1",
+            resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5),) * 3,
+            upsample_rates=(1,),
+            upsample_initial_channel=2 * C,
+            upsample_kernel_sizes=(1,),
+            gin_channels=0,
+        )
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C), dtype)
+        params = jax.jit(gen_stage.init)(jax.random.PRNGKey(1), x)
+        params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+        f_pl = lambda x: gen_stage.apply(params, x, fused=True)
+        f_xla = lambda x: gen_stage.apply(params, x, fused=False)
+        results.append({
+            "kernel": "mrf_stage", "B": B, "T": T, "C": C,
+            "pallas_ms": timeit(f_pl, x, n=10),
+            "xla_ms": timeit(f_xla, x, n=10),
+        })
 
 
 def main():

@@ -93,14 +93,22 @@ def main():
         rng = jax.random.PRNGKey(0)
         state, mg, md = create_train_state(cfg, rng, N_SYMBOLS, batch)
         step = jax.jit(make_train_step(cfg, mg, md), donate_argnums=0)
+        def fetch_scalar(state):
+            # scalar host fetch of a post-update parameter: the only reliable
+            # sync on the tunneled TPU runtime (block_until_ready is a no-op
+            # there); each step donates+consumes the previous state, so the
+            # fetched value depends on the whole chain
+            leaf = jax.tree_util.tree_leaves(state.params_g)[0]
+            return float(jnp.sum(leaf))
+
         with mesh:
             sbatch = shard_batch(batch, mesh)
             state, _ = step(state, sbatch)  # compile
-            jax.block_until_ready(state.params_g)
+            fetch_scalar(state)
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 state, metrics = step(state, sbatch)
-            jax.block_until_ready(state.params_g)
+            fetch_scalar(state)
             dt = (time.perf_counter() - t0) / args.steps
         utts_per_s = batch.phonemes.shape[0] / dt
         results.append({"devices": n_dev, "step_ms": dt * 1e3,

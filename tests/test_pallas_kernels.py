@@ -168,3 +168,66 @@ class TestWNStack:
         out = wn_pl.apply(params, x, mask, g=g)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=5e-4, atol=5e-5)
+
+
+class TestMRFStage:
+    """Fused MRF resblock stage vs the XLA ResBlock1 path
+    (ops/pallas/mrf_stage.py; interpret mode on CPU)."""
+
+    def _generator(self):
+        from vispeech_tpu.models.generator import Generator
+
+        return Generator(
+            resblock="1",
+            resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5),) * 3,
+            upsample_rates=(4, 2),
+            upsample_initial_channel=64,
+            upsample_kernel_sizes=(8, 4),
+            gin_channels=8,
+        )
+
+    def test_generator_fused_matches_xla(self):
+        gen = self._generator()
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 40, 16), jnp.float32)
+        g = jnp.asarray(rng.randn(2, 1, 8), jnp.float32)
+        params = gen.init(jax.random.PRNGKey(0), x, g)
+        ref = gen.apply(params, x, g, fused=False)
+        out = gen.apply(params, x, g, fused=True)
+        assert out.shape == ref.shape == (2, 40 * 8, 1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_param_tree_identical(self):
+        gen = self._generator()
+        x = jnp.zeros((1, 8, 16))
+        g = jnp.zeros((1, 1, 8))
+        p1 = gen.init(jax.random.PRNGKey(0), x, g, fused=False)
+        p2 = gen.init(jax.random.PRNGKey(0), x, g, fused=True)
+        assert (jax.tree_util.tree_structure(p1)
+                == jax.tree_util.tree_structure(p2))
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_mrf_stack_direct_long_tile_boundary(self):
+        """T crossing several tiles (tile=128 forced) stays exact."""
+        from vispeech_tpu.ops.pallas.mrf_stage import mrf_stack
+        from vispeech_tpu.ops.resblock import ResBlock1
+
+        C = 16
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 300, C), jnp.float32)
+        blocks = [ResBlock1(C, k, (1, 3, 5)) for k in (3, 7, 11)]
+        params, packed, refs = [], [], []
+        for i, b in enumerate(blocks):
+            p = b.init(jax.random.PRNGKey(i), x)
+            params.append(p)
+            packed.append(b.apply(p, x, collect=True))
+            refs.append(b.apply(p, x))
+        ref = sum(refs) / 3
+        out = mrf_stack(x, tuple(packed), kernel_sizes=(3, 7, 11),
+                        dilations=((1, 3, 5),) * 3, tile=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)

@@ -30,9 +30,15 @@ class Generator(nn.Module):
     gin_channels: int = 0
 
     @nn.compact
-    def __call__(self, x: Array, g: Optional[Array] = None) -> Array:
+    def __call__(
+        self, x: Array, g: Optional[Array] = None, fused: bool = False
+    ) -> Array:
+        """``fused=True`` runs each MRF stage as one Pallas kernel
+        (ops/pallas/mrf_stage.py) — inference-only (no VJP); identical
+        parameters and output to the XLA path (tested).  resblock "1" only."""
         num_kernels = len(self.resblock_kernel_sizes)
         block = ResBlock1 if self.resblock == "1" else ResBlock2
+        fused = fused and self.resblock == "1"
 
         x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         if g is not None and self.gin_channels:
@@ -42,13 +48,30 @@ class Generator(nn.Module):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x)
             x = WNConvTranspose1d(ch, k, u, name=f"up_{i}")(x)
-            acc = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                y = block(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
-                acc = y if acc is None else acc + y
-            x = acc / num_kernels
+            blocks = [
+                block(ch, rk, tuple(rd), name=f"res_{i}_{j}")
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+                )
+            ]
+            if fused:
+                from vispeech_tpu.ops.pallas.mrf_stage import mrf_stack
+
+                packed = tuple(b(x, collect=True) for b in blocks)
+                x = mrf_stack(
+                    x, packed,
+                    kernel_sizes=tuple(self.resblock_kernel_sizes),
+                    dilations=tuple(
+                        tuple(d) for d in self.resblock_dilation_sizes
+                    ),
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                acc = None
+                for b in blocks:
+                    y = b(x)
+                    acc = y if acc is None else acc + y
+                x = acc / num_kernels
         x = leaky_relu(x, 0.01)  # torch F.leaky_relu default (models.py:286)
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)  # [B, T*prod(rates), 1]

@@ -439,8 +439,10 @@ class Synthesizer(nn.Module):
     def _decode(self, z: Array, g: Optional[Array]) -> Array:
         """Vocoder call with the serving dtype policy: on TPU the decoder —
         where nearly all inference FLOPs and activation memory live — runs in
-        bfloat16 (conv kernels cast to input dtype; waveform returned f32).
-        VISPEECH_DISABLE_BF16_DECODER=1 forces float32."""
+        bfloat16 (conv kernels cast to input dtype; waveform returned f32)
+        with the fused Pallas MRF stages (ops/pallas/mrf_stage.py).
+        VISPEECH_DISABLE_BF16_DECODER=1 forces float32;
+        VISPEECH_DISABLE_PALLAS=1 keeps the XLA resblocks."""
         import os
 
         if (
@@ -450,6 +452,7 @@ class Synthesizer(nn.Module):
             o = self.dec(
                 z.astype(jnp.bfloat16),
                 g=g.astype(jnp.bfloat16) if g is not None else None,
+                fused=not os.environ.get("VISPEECH_DISABLE_PALLAS"),
             )
             return o.astype(jnp.float32)
         return self.dec(z, g=g)
