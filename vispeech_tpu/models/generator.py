@@ -54,7 +54,10 @@ class Generator(nn.Module):
                     zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
                 )
             ]
-            if fused:
+            # XLA already runs the widest stage near its roofline (~63
+            # TFLOP/s at C=256); the fused kernel wins at ≤128 channels
+            # where XLA is HBM-bound on 18 low-width convs
+            if fused and ch <= 128:
                 from vispeech_tpu.ops.pallas.mrf_stage import mrf_stack
 
                 packed = tuple(b(x, collect=True) for b in blocks)
