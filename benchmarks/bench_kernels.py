@@ -148,6 +148,7 @@ def main():
     results = []
     bench_attention(results, on_tpu)
     bench_wn(results, on_tpu)
+    bench_mrf(results, on_tpu)
     if args.json:
         print(json.dumps({"backend": jax.default_backend(), "results": results}))
     else:
