@@ -231,3 +231,58 @@ class TestMRFStage:
                         dilations=((1, 3, 5),) * 3, tile=128, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
+
+
+class TestFoldedMRF:
+    """Polyphase channel-folded MRF stage vs the XLA ResBlock1 path
+    (ops/folded_mrf.py — exact in float32, any backend)."""
+
+    def _stage(self, C, T, fold, kernels=(3, 7, 11), dils=((1, 3, 5),) * 3,
+               seed=0):
+        from vispeech_tpu.ops.folded_mrf import mrf_stage_folded
+        from vispeech_tpu.ops.resblock import ResBlock1
+
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(2, T, C), jnp.float32)
+        packed, refs = [], []
+        for i, (k, d) in enumerate(zip(kernels, dils)):
+            b = ResBlock1(C, k, tuple(d))
+            p = b.init(jax.random.PRNGKey(i), x)
+            packed.append(b.apply(p, x, collect=True))
+            refs.append(b.apply(p, x))
+        ref = sum(refs) / len(refs)
+        out = mrf_stage_folded(x, tuple(packed), kernel_sizes=kernels,
+                               dilations=dils, fold=fold)
+        return np.asarray(out), np.asarray(ref)
+
+    def test_fold4_matches_xla(self):
+        out, ref = self._stage(C=32, T=128, fold=4)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_fold8_matches_xla(self):
+        out, ref = self._stage(C=16, T=104, fold=8, seed=3)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_fold2_single_branch(self):
+        out, ref = self._stage(C=8, T=30, fold=2, kernels=(5,),
+                               dils=((1, 2),), seed=7)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    def test_fold_weights_roundtrip_identity_conv(self):
+        """A k=1 identity conv folds to a block-diagonal identity."""
+        from vispeech_tpu.ops.folded_mrf import fold_conv_weights
+
+        C, fold = 4, 4
+        w = jnp.eye(C)[None]  # [1, C, C]
+        b = jnp.zeros((C,))
+        wf, bf, (lo, hi) = fold_conv_weights(w, b, dilation=1, fold=fold)
+        assert wf.shape == (1, fold * C, fold * C) and lo == hi == 0
+        np.testing.assert_array_equal(np.asarray(wf[0]), np.eye(fold * C))
+
+    def test_indivisible_t_raises(self):
+        import pytest
+
+        from vispeech_tpu.ops.folded_mrf import mrf_stage_folded
+
+        with pytest.raises(ValueError):
+            self._stage(C=8, T=31, fold=2, kernels=(3,), dils=((1,),))

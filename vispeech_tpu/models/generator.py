@@ -54,10 +54,26 @@ class Generator(nn.Module):
                     zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
                 )
             ]
-            # XLA already runs the widest stage near its roofline (~63
-            # TFLOP/s at C=256); the fused kernel wins at ≤128 channels
-            # where XLA is HBM-bound on 18 low-width convs
-            if fused and ch <= 128:
+            # Measured dispatch policy (TPU v5e, batch 8 × 1408 frames):
+            # XLA runs the ≥128-channel stages fastest (its conv fusion is
+            # near-roofline there); the channel-major Pallas kernel wins at
+            # C=64 where XLA is HBM-bound on 18 narrow convs; below 64 the
+            # polyphase-folded path wins — fold samples into channels so
+            # every matmul is 128 wide (ops/folded_mrf.py).
+            fold = max(1, 128 // ch)
+            if fused and ch < 64 and x.shape[1] % fold == 0:
+                from vispeech_tpu.ops.folded_mrf import mrf_stage_folded
+
+                packed = tuple(b(x, collect=True) for b in blocks)
+                x = mrf_stage_folded(
+                    x, packed,
+                    kernel_sizes=tuple(self.resblock_kernel_sizes),
+                    dilations=tuple(
+                        tuple(d) for d in self.resblock_dilation_sizes
+                    ),
+                    fold=fold,
+                )
+            elif fused and ch == 64:
                 from vispeech_tpu.ops.pallas.mrf_stage import mrf_stack
 
                 packed = tuple(b(x, collect=True) for b in blocks)
