@@ -25,7 +25,11 @@ def main():
     p.add_argument("--pitch-scale", type=float, default=None)
     p.add_argument("--energy-scale", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
+    from vispeech_tpu.utils.platform import add_platform_arg, apply_platform
+
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     from vispeech_tpu.infer.pipeline import TTSEngine
 

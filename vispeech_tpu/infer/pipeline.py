@@ -28,6 +28,7 @@ import numpy as np
 from vispeech_tpu.config import Config, load_config
 from vispeech_tpu.data.dataset import DEFAULT_BUCKETS, numpy_spectrogram
 from vispeech_tpu.models import Synthesizer
+from vispeech_tpu.ops.policy import default_serving_policy
 from vispeech_tpu.text import cleaned_text_to_sequence, text_to_phones
 from vispeech_tpu.text.symbols import N_SYMBOLS
 from vispeech_tpu.utils.checkpoint import latest_checkpoint_step
@@ -80,9 +81,12 @@ class TTSEngine:
         cfg: Config,
         variables: dict,
         max_phonemes: int = 512,
+        policy=None,  # Optional[ServingPolicy]; None = fastest for backend
     ):
         self.cfg = cfg
-        self.model = Synthesizer.from_config(cfg, N_SYMBOLS)
+        if policy is None:
+            policy = default_serving_policy()
+        self.model = Synthesizer.from_config(cfg, N_SYMBOLS, policy=policy)
         self.variables = variables
         self.max_phonemes = max_phonemes
         self._dur_fns: Dict[int, object] = {}

@@ -268,7 +268,11 @@ def main():
     p.add_argument("-k", "--ckpt-dir", required=True)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
+    from vispeech_tpu.utils.platform import add_platform_arg, apply_platform
+
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     from vispeech_tpu.infer.pipeline import TTSEngine
 

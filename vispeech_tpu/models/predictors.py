@@ -189,6 +189,7 @@ class PitchPredictor(nn.Module):
     p_dropout: float
     gin_channels: int = 0
     n_layers: int = 6  # hardcoded in the reference (models.py:498)
+    use_pallas: Optional[bool] = None  # attention kernel policy (ops/policy.py)
 
     @nn.compact
     def __call__(
@@ -209,6 +210,7 @@ class PitchPredictor(nn.Module):
             self.n_layers,
             self.kernel_size,
             self.p_dropout,
+            use_pallas=self.use_pallas,
             name="pitch_net",
         )(x * x_mask, x_mask, deterministic=deterministic)
         x = x * x_mask

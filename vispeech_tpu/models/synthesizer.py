@@ -43,6 +43,7 @@ from vispeech_tpu.ops.flows import ResidualCouplingLayer, Flip
 from vispeech_tpu.ops.layers import Conv1d, normal_init
 from vispeech_tpu.ops.length_regulator import length_regulate
 from vispeech_tpu.ops.masking import length_mask, rand_slice_segments
+from vispeech_tpu.ops.policy import ServingPolicy, default_serving_policy
 from vispeech_tpu.ops.wavenet import WN
 
 Array = jax.Array
@@ -76,6 +77,7 @@ class TextEncoder(nn.Module):
     n_layers: int
     kernel_size: int
     p_dropout: float
+    use_pallas: Optional[bool] = None  # attention kernel policy (ops/policy.py)
 
     @nn.compact
     def __call__(self, phonemes: Array, lengths: Array, deterministic: bool = True):
@@ -94,6 +96,7 @@ class TextEncoder(nn.Module):
             self.n_layers,
             self.kernel_size,
             self.p_dropout,
+            use_pallas=self.use_pallas,
             name="encoder",
         )(x * x_mask, x_mask, deterministic=deterministic)
         return x, x_mask
@@ -182,6 +185,7 @@ class FramePriorNet(nn.Module):
     n_layers: int
     kernel_size: int
     p_dropout: float
+    use_pallas: Optional[bool] = None  # attention kernel policy (ops/policy.py)
 
     @nn.compact
     def __call__(self, x_frame, x_mask, deterministic: bool = True):
@@ -192,6 +196,7 @@ class FramePriorNet(nn.Module):
             self.n_layers,
             self.kernel_size,
             self.p_dropout,
+            use_pallas=self.use_pallas,
             name="fft_block",
         )(x_frame * x_mask, x_mask, deterministic=deterministic)
 
@@ -229,11 +234,30 @@ class Synthesizer(nn.Module):
     n_speakers: int = 0
     gin_channels: int = 0
     use_sdp: bool = False
+    # Serving policy (ops/policy.py) — explicit, jit-static, testable on any
+    # backend.  Defaults are the training/parity configuration: float32,
+    # pure-XLA (differentiable) everywhere.
+    decode_dtype: str = "float32"      # "float32" | "bfloat16"
+    fused_decode: bool = False         # Pallas/folded MRF stages (infer-only)
+    attn_pallas: Optional[bool] = None  # None=auto, True/False=force
 
     @classmethod
-    def from_config(cls, cfg: Config, n_vocab: int) -> "Synthesizer":
+    def from_config(
+        cls,
+        cfg: Config,
+        n_vocab: int,
+        policy: Optional["ServingPolicy"] = None,
+    ) -> "Synthesizer":
+        kw = {}
+        if policy is not None:
+            kw = dict(
+                decode_dtype=policy.decode_dtype,
+                fused_decode=policy.fused_decode,
+                attn_pallas=policy.attn_pallas,
+            )
         m = cfg.model
         return cls(
+            **kw,
             n_vocab=n_vocab,
             spec_channels=cfg.data.spec_channels,
             segment_size=cfg.train.segment_size // cfg.data.hop_length,
@@ -255,10 +279,18 @@ class Synthesizer(nn.Module):
             use_sdp=m.use_sdp,
         )
 
+    @classmethod
+    def for_serving(cls, cfg: Config, n_vocab: int) -> "Synthesizer":
+        """Construct with the measured-fastest policy for the current backend
+        (bf16 + fused kernels on TPU; float32/XLA elsewhere) — resolved once
+        on the host, never inside traced code."""
+        return cls.from_config(cfg, n_vocab, policy=default_serving_policy())
+
     def setup(self):
         self.enc_p = TextEncoder(
             self.n_vocab, self.hidden_channels, self.filter_channels,
             self.n_heads, self.n_layers, self.kernel_size, self.p_dropout,
+            use_pallas=self.attn_pallas,
         )
         self.dec = Generator(
             self.resblock, self.resblock_kernel_sizes, self.resblock_dilation_sizes,
@@ -283,10 +315,12 @@ class Synthesizer(nn.Module):
         self.frame_prior_net = FramePriorNet(
             self.hidden_channels, self.filter_channels, self.n_heads,
             self.n_layers, self.kernel_size, self.p_dropout,
+            use_pallas=self.attn_pallas,
         )
         self.pitch_predictor = PitchPredictor(
             self.hidden_channels, self.filter_channels, self.n_heads,
             self.kernel_size, self.p_dropout, gin_channels=self.gin_channels,
+            use_pallas=self.attn_pallas,
         )
         self.energy_predictor = EnergyPredictor(
             self.hidden_channels, gin_channels=self.gin_channels
@@ -437,25 +471,19 @@ class Synthesizer(nn.Module):
         return o, frame_mask, (z, z_p, m_p, logs_p), duration, f0, energy
 
     def _decode(self, z: Array, g: Optional[Array]) -> Array:
-        """Vocoder call with the serving dtype policy: on TPU the decoder —
-        where nearly all inference FLOPs and activation memory live — runs in
-        bfloat16 (conv kernels cast to input dtype; waveform returned f32)
-        with the fused Pallas MRF stages (ops/pallas/mrf_stage.py).
-        VISPEECH_DISABLE_BF16_DECODER=1 forces float32;
-        VISPEECH_DISABLE_PALLAS=1 keeps the XLA resblocks."""
-        import os
-
-        if (
-            jax.default_backend() == "tpu"
-            and not os.environ.get("VISPEECH_DISABLE_BF16_DECODER")
-        ):
-            o = self.dec(
-                z.astype(jnp.bfloat16),
-                g=g.astype(jnp.bfloat16) if g is not None else None,
-                fused=not os.environ.get("VISPEECH_DISABLE_PALLAS"),
-            )
-            return o.astype(jnp.float32)
-        return self.dec(z, g=g)
+        """Vocoder call under the explicit serving policy (ops/policy.py):
+        ``decode_dtype`` sets the decoder activation dtype (the decoder is
+        where nearly all inference FLOPs and activation memory live; conv
+        kernels are cast to the activation dtype with f32 accumulation, the
+        waveform is returned f32), ``fused_decode`` dispatches the MRF stages
+        to the Pallas / polyphase-folded kernels."""
+        dtype = jnp.dtype(self.decode_dtype)
+        o = self.dec(
+            z.astype(dtype),
+            g=g.astype(dtype) if g is not None else None,
+            fused=self.fused_decode,
+        )
+        return o.astype(jnp.float32)
 
     def predict_durations(
         self,

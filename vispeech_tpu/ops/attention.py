@@ -67,14 +67,13 @@ def _absolute_to_relative(x: Array) -> Array:
 
 
 def _pallas_attention_viable(key_mask) -> bool:
-    """The fused Pallas path runs on TPU backends (tests force it via the
-    module flag + interpret mode).  VISPEECH_DISABLE_PALLAS=1 disables all
-    auto-selected Pallas paths (debugging escape hatch)."""
-    import os
+    """Auto-selection (``use_pallas=None``) for raw modules: the fused Pallas
+    path runs on TPU backends.  Explicit policy (ops/policy.py) is preferred —
+    the Synthesizer threads it through — and env escape hatches are honored
+    only there, never here in traced code paths."""
+    from vispeech_tpu.ops.policy import default_serving_policy
 
-    if os.environ.get("VISPEECH_DISABLE_PALLAS"):
-        return False
-    return jax.default_backend() == "tpu" and key_mask is not None
+    return bool(default_serving_policy().attn_pallas) and key_mask is not None
 
 
 class MultiHeadAttention(nn.Module):

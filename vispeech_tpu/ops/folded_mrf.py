@@ -76,12 +76,16 @@ def fold_conv_weights(
 
 
 def _conv_folded(x: Array, wf: Array, bf: Array, pad: Tuple[int, int]) -> Array:
+    # Weights are folded in param dtype (f32) then cast to the activation
+    # dtype, with f32 accumulation — mirrors the fused Pallas MRF kernel
+    # (ops/pallas/mrf_stage.py) so the bf16 serving path is exact-policy
+    # equivalent.  (Round-1 bug: uncast f32 weights crashed bf16 serving.)
     y = jax.lax.conv_general_dilated(
-        x, wf, window_strides=(1,), padding=(pad,),
+        x, wf.astype(x.dtype), window_strides=(1,), padding=(pad,),
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=x.dtype,
+        preferred_element_type=jnp.float32,
     )
-    return y + bf
+    return (y + bf.astype(jnp.float32)).astype(x.dtype)
 
 
 def mrf_stage_folded(
@@ -96,6 +100,12 @@ def mrf_stage_folded(
     ``packed`` per branch: (w1 [U,k,C,C], b1 [U,1,C], w2, b2) — the exact
     weight-norm-folded parameters the XLA path trains (ResBlock1
     ``collect=True``, ops/resblock.py).  x: [B, T, C], T % fold == 0.
+
+    Kernels are re-folded on every call by design: params are traced jit
+    inputs (so the op stays differentiable and checkpoint-swappable), and the
+    einsum fold is O(k·fold²·C²) ≈ 0.01% of the stage's conv FLOPs at C=32
+    over ~0.7M samples — pre-folding at load time would save nothing
+    measurable while complicating the parameter contract.
     """
     B, T, C = x.shape
     if T % fold:

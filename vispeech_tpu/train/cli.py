@@ -20,7 +20,11 @@ def main():
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=1,
                    help="size of the 'model' mesh axis (tensor parallelism)")
+    from vispeech_tpu.utils.platform import add_platform_arg, apply_platform
+
+    add_platform_arg(p)
     args = p.parse_args()
+    apply_platform(args.platform)
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         import jax

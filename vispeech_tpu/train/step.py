@@ -3,8 +3,11 @@
 One step = D update on the detached generator output, then G update against
 the *updated* discriminator — the reference's exact ordering (train.py:195-225:
 optim_d.step() happens before the second net_d call).  The generator forward
-runs once untracked for the D step and once inside the G gradient with the
-same RNGs, so both see identical samples/slices.
+runs ONCE via ``jax.vjp``: its outputs feed the D update detached, and the
+stored vjp closes the G gradient through the same forward — the reference's
+retained-graph arrangement (torch runs one net_g forward and reuses the
+stored graph for the G backward), reclaiming the ~1/3 of step FLOPs a second
+traced forward would cost.
 
 bf16 policy: when enabled, batch activations are cast to bfloat16 for the
 heavy compute while losses stay float32 (the reference's fp16 autocast +
@@ -171,10 +174,22 @@ def make_train_step(
             "dropout": jax.random.fold_in(step_rng, 1),
         }
 
-        # -------- generator forward (untracked) for the D update --------
-        out = g_forward(state.params_g, batch, rngs)
-        y_hat = jax.lax.stop_gradient(out[0])
-        ids_slice = out[4]
+        # -------- ONE generator forward, vjp-tracked --------------------
+        # diff: float outputs the G loss differentiates through;
+        # aux: indices/masks/predictions that carry no gradient.
+        def g_forward_split(gparams):
+            (y_hat, l_length, l_pitch, l_energy, ids_slice, x_mask, y_mask,
+             latents, pred_f0, pred_ne, ne) = g_forward(
+                {"params": gparams}, batch, rngs
+            )
+            diff = (y_hat, l_length, l_pitch, l_energy, latents)
+            aux = (ids_slice, y_mask)
+            return diff, aux
+
+        diff_out, g_vjp, (ids_slice, y_mask) = jax.vjp(
+            g_forward_split, state.params_g["params"], has_aux=True
+        )
+        y_hat = jax.lax.stop_gradient(diff_out[0])
 
         wav_slice = slice_segments(
             batch.wav, ids_slice * d.hop_length, cfg.train.segment_size
@@ -200,12 +215,12 @@ def make_train_step(
         }
 
         # -------- generator update against the updated D --------
+        # Loss as a function of the forward's OUTPUTS; the output cotangents
+        # close through g_vjp — no second generator forward.
         mel = mel_of(batch.spec)
 
-        def g_loss_fn(gparams):
-            out = g_forward({"params": gparams["params"]}, batch, rngs)
-            (y_hat, l_length, l_pitch, l_energy, ids_slice, x_mask, y_mask,
-             latents, pred_f0, pred_ne, ne) = out
+        def g_loss_from_outputs(diff):
+            y_hat, l_length, l_pitch, l_energy, latents = diff
             z, z_p, m_p, logs_p, m_q, logs_q = latents
 
             y_mel = slice_segments(mel, ids_slice, seg_frames)
@@ -231,10 +246,10 @@ def make_train_step(
             }
             return total, aux
 
-        (loss_gen_all, g_metrics), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.params_g)
-        g_grads = g_grads["params"]
+        (loss_gen_all, g_metrics), diff_grads = jax.value_and_grad(
+            g_loss_from_outputs, has_aux=True
+        )(diff_out)
+        (g_grads,) = g_vjp(diff_grads)
         grad_norm_g = grad_global_norm(g_grads)
         g_updates, opt_state_g = tx_g.update(
             g_grads, state.opt_state_g, state.params_g["params"]
