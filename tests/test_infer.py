@@ -130,6 +130,27 @@ class TestServer:
         assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
         assert len(body) > 100
 
+    def test_tts_output_rate_conversion(self, server):
+        """`sr` query param resamples the response (reference delivers
+        22.05 kHz from the 44.1 kHz model via ffmpeg, inference_api.py:66-67)."""
+        import struct
+        import urllib.error
+        from urllib.parse import quote
+
+        with urllib.request.urlopen(
+            f"{server}/tts?text={quote('[P]ni2 hao3[P]')}&sr=4000"
+        ) as r:
+            body = r.read()
+        assert body[:4] == b"RIFF"
+        # WAV fmt chunk sample rate at byte 24
+        assert struct.unpack("<I", body[24:28])[0] == 4000
+        # bad sr -> 400
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                f"{server}/tts?text={quote('[P]ni2 hao3[P]')}&sr=0"
+            )
+        assert exc.value.code == 400
+
     def test_tts_json_prosody(self, server):
         from urllib.parse import quote
 

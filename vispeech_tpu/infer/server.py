@@ -191,6 +191,9 @@ def make_handler(engine, lock: threading.Lock):
                     energy_control=ctrl("energy"),
                     seed=int(body.get("seed", 0)),
                 )
+                sr_out = int(body["sr"]) if "sr" in body else None
+                if sr_out is not None and sr_out <= 0:
+                    raise ValueError(f"sr={sr_out}")
             except (TypeError, ValueError) as e:
                 return self._json(400, {"error": f"bad parameter: {e}"})
             if not lock.acquire(blocking=False):
@@ -201,9 +204,12 @@ def make_handler(engine, lock: threading.Lock):
                 return self._json(500, {"error": str(e)})
             finally:
                 lock.release()
-            return self._send(
-                200, wav_bytes(out["audio"], out["sampling_rate"]), "audio/wav"
-            )
+            audio, sr = out["audio"], out["sampling_rate"]
+            if sr_out is not None and sr_out != sr:
+                from vispeech_tpu.dsp.resample import resample
+
+                audio, sr = resample(audio, sr, sr_out), sr_out
+            return self._send(200, wav_bytes(audio, sr), "audio/wav")
 
         def do_GET(self):  # noqa: N802
             url = urllib.parse.urlparse(self.path)
@@ -227,6 +233,9 @@ def make_handler(engine, lock: threading.Lock):
                     energy_control=float(q["energy"]) if "energy" in q else None,
                     seed=int(q.get("seed", 0)),
                 )
+                sr_out = int(q["sr"]) if "sr" in q else None
+                if sr_out is not None and sr_out <= 0:
+                    raise ValueError(f"sr={sr_out}")
             except ValueError as e:
                 return self._json(400, {"error": f"bad parameter: {e}"})
             if not lock.acquire(blocking=False):
@@ -246,8 +255,14 @@ def make_handler(engine, lock: threading.Lock):
                     "energy": [float(x) for x in out["energy"]],
                     "n_samples": int(len(out["audio"])),
                 })
-            body = wav_bytes(out["audio"], out["sampling_rate"])
-            return self._send(200, body, "audio/wav")
+            # output-rate conversion (reference resamples 44.1k->22.05k per
+            # request via ffmpeg, inference_api.py:66-67 — here in-process)
+            audio, sr = out["audio"], out["sampling_rate"]
+            if sr_out is not None and sr_out != sr:
+                from vispeech_tpu.dsp.resample import resample
+
+                audio, sr = resample(audio, sr, sr_out), sr_out
+            return self._send(200, wav_bytes(audio, sr), "audio/wav")
 
         def log_message(self, fmt, *args):  # quiet
             pass

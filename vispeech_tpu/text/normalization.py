@@ -7,9 +7,8 @@ behavioral contract as the reference's PaddleSpeech-derived cascade
 text_normlization.py:79-110).  Re-implemented from the verbalization rules of
 modern written Chinese (zh.wikipedia.org/wiki/中文数字).
 
-Everything here is host-side pure Python with no third-party dependencies.
-Traditional→simplified conversion is delegated to ``opencc`` when installed and
-is the identity otherwise.
+Everything here is host-side pure Python with no third-party dependencies,
+including traditional→simplified conversion (built-in table, text/t2s_data.py).
 """
 
 from __future__ import annotations
@@ -219,12 +218,11 @@ _F2H_SPACE = {0x3000: " "}
 
 
 def _traditional_to_simplified(text: str) -> str:
-    try:
-        from opencc import OpenCC  # optional
+    """Self-contained per-character conversion (reference ships its own table,
+    char_convert.py:30 — no optional dependency, no silent identity)."""
+    from vispeech_tpu.text.t2s_data import T2S
 
-        return OpenCC("t2s").convert(text)
-    except ImportError:
-        return text
+    return "".join(T2S.get(ch, ch) for ch in text)
 
 
 class TextNormalizer:
