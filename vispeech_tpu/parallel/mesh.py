@@ -78,22 +78,39 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def param_shardings(params: Any, mesh: Mesh) -> Any:
+def param_shardings(params: Any, mesh: Mesh, require_match: bool = False) -> Any:
     """Sharding tree for params: model-parallel channel sharding where the
-    pattern matches and the dim divides, replicated otherwise."""
+    pattern matches and the dim divides, replicated otherwise.
+
+    ``require_match=True`` (use for the generator tree): raise if a model
+    axis >1 is requested but NO parameter matches — a renamed module must
+    fail loudly, not silently degrade TP to replication
+    (tests/test_sharding.py pins the expected matches).  Leave False for
+    trees with no TP-targeted stacks (e.g. the discriminators).
+    """
     model_size = mesh.shape["model"]
+    n_matched = 0
 
     def rule(path, x):
+        nonlocal n_matched
         if model_size > 1 and hasattr(x, "ndim") and x.ndim >= 1:
             p = _path_str(path)
             for pat in _MODEL_SHARDED_PATTERNS:
                 if re.fullmatch(pat, p) or re.match(pat, p):
                     if x.shape[-1] % model_size == 0 and x.shape[-1] >= _MIN_SHARD_SIZE:
+                        n_matched += 1
                         spec = [None] * (x.ndim - 1) + ["model"]
                         return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(rule, params)
+    out = jax.tree_util.tree_map_with_path(rule, params)
+    if require_match and model_size > 1 and n_matched == 0:
+        raise ValueError(
+            "model-parallel mesh requested but no parameter matched the "
+            "TP sharding patterns — module paths changed? "
+            f"(patterns: {_MODEL_SHARDED_PATTERNS})"
+        )
+    return out
 
 
 def shard_params(params: Any, mesh: Mesh) -> Any:

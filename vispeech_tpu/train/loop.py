@@ -96,6 +96,20 @@ class Trainer:
         self.state, self.model_g, self.model_d = create_train_state(
             cfg, rng, N_SYMBOLS, init_batch, self.steps_per_epoch
         )
+        # tensor parallelism: place params under 'model'-axis channel
+        # shardings; kept for resume so restored leaves land back sharded
+        self._g_shardings = self._d_shardings = None
+        if self.mesh.shape["model"] > 1:
+            from vispeech_tpu.parallel import param_shardings
+
+            self._g_shardings = param_shardings(
+                self.state.params_g, self.mesh, require_match=True
+            )
+            self._d_shardings = param_shardings(self.state.params_d, self.mesh)
+            self.state = self.state.replace(
+                params_g=jax.device_put(self.state.params_g, self._g_shardings),
+                params_d=jax.device_put(self.state.params_d, self._d_shardings),
+            )
         self._step_fn = jax.jit(
             make_train_step(cfg, self.model_g, self.model_d, self.steps_per_epoch),
             donate_argnums=0,
@@ -124,6 +138,11 @@ class Trainer:
     def resume(self) -> Optional[int]:
         """Restore the latest checkpoint if one exists; returns its step."""
         self.state, step = load_checkpoint(self.save_dir, self.state)
+        if step is not None and self._g_shardings is not None:
+            self.state = self.state.replace(
+                params_g=jax.device_put(self.state.params_g, self._g_shardings),
+                params_d=jax.device_put(self.state.params_d, self._d_shardings),
+            )
         return step
 
     @property

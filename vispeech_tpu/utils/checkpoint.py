@@ -16,9 +16,15 @@ exact and trivial:
 
 The whole TrainState (G params, D params, both optimizer states, RNG, step)
 is one checkpoint — there is no G/D file split to keep in sync.  Writes are
-atomic (tmp + rename) so a preempted save never corrupts the resume point;
-under multi-host pjit only process 0 writes (state is replicated or
-host-gathered by the caller).
+atomic (tmp + rename) so a preempted save never corrupts the resume point.
+
+Multi-host / tensor-parallel: ``save_checkpoint`` first runs
+``gather_state_to_host`` — one jitted identity whose outputs are replicated
+over the state's mesh, so GSPMD all-gathers TP-sharded parameters across
+hosts (a COLLECTIVE: every process must call save_checkpoint) — then only
+process 0 writes the assembled arrays.  ``load_checkpoint`` accepts a
+``shardings`` pytree to place restored leaves straight back under their
+TP/replicated shardings.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 logger = logging.getLogger("vispeech_tpu")
 
@@ -57,6 +64,27 @@ def flatten_state(state: Any) -> Dict[str, np.ndarray]:
     return {_path_str(kp): np.asarray(jax.device_get(v)) for kp, v in leaves}
 
 
+def _state_mesh(state: Any):
+    """The NamedSharding mesh the state lives on, or None if unsharded."""
+    for leaf in jax.tree_util.tree_leaves(state):
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh.size > 1:
+            return sh.mesh
+    return None
+
+
+def gather_state_to_host(state: Any) -> Any:
+    """Replicate every leaf over the state's mesh (GSPMD all-gather of
+    TP-sharded params, cross-host over DCN when the mesh spans hosts) so each
+    process holds a full copy.  One jitted identity — one compile per state
+    signature, cached thereafter.  No-op for unsharded state."""
+    mesh = _state_mesh(state)
+    if mesh is None:
+        return state
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(lambda t: t, out_shardings=rep)(state)
+
+
 def _ckpt_path(base_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(base_dir), f"ckpt_{step}.npz")
 
@@ -64,9 +92,11 @@ def _ckpt_path(base_dir: str, step: int) -> str:
 def save_checkpoint(base_dir: str, state: Any, step: int, keep: int = 2) -> str:
     """Save the full train state at `step`; prune to the newest `keep`.
 
-    No-op (returning the would-be path) on non-zero hosts.
+    COLLECTIVE under a multi-device/multi-host mesh: every process must call
+    it (the host-gather all-gathers TP shards); only process 0 writes.
     """
     path = _ckpt_path(base_dir, step)
+    state = gather_state_to_host(state)
     if jax.process_index() != 0:
         return path
     os.makedirs(os.path.abspath(base_dir), exist_ok=True)
@@ -114,6 +144,7 @@ def load_checkpoint(
     state: Any,
     step: Optional[int] = None,
     skip_optimizer: bool = False,
+    shardings: Any = None,
 ) -> Tuple[Any, Optional[int]]:
     """Restore into `state` tolerantly; returns (state, restored_step).
 
@@ -121,7 +152,10 @@ def load_checkpoint(
     shape takes the stored value; all others keep their current (fresh-init)
     values with a warning — the reference's shape-tolerant key-wise load
     (utils.py:33-43).  With ``skip_optimizer``, leaves under ``opt_state*``
-    are left untouched (utils.py:45-51).
+    are left untouched (utils.py:45-51).  ``shardings`` (a pytree matching
+    `state`, e.g. from parallel.param_shardings) re-places every restored
+    leaf under its TP/replicated sharding (each process reads the file —
+    shared-FS assumption, same as orbax's default).
     """
     if step is None:
         step = latest_checkpoint_step(base_dir)
@@ -156,6 +190,8 @@ def load_checkpoint(
     new_state = jax.tree_util.tree_unflatten(
         treedef, [v for v in new_leaves]
     )
+    if shardings is not None:
+        new_state = jax.tree_util.tree_map(jax.device_put, new_state, shardings)
     logger.info(
         "Restored checkpoint step %s from %s (%d/%d leaves)",
         step, path, n_hit, len(leaves),
