@@ -55,13 +55,24 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument(
+        "--fused-wn", action="store_true",
+        help="differentiable fused WN stack (Pallas custom VJP) in the "
+             "posterior encoder + flows — A/B against the default XLA path",
+    )
     args = ap.parse_args()
+
+    import dataclasses
 
     from vispeech_tpu.config import Config
     from vispeech_tpu.text.symbols import N_SYMBOLS
     from vispeech_tpu.train.step import create_train_state, make_train_step
 
     cfg = Config()
+    if args.fused_wn:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, fused_wn=True)
+        )
     on_tpu = jax.default_backend() == "tpu"
     B = args.batch or (cfg.train.batch_size if on_tpu else 2)
     T = args.frames or (1024 if on_tpu else 32)
@@ -106,6 +117,7 @@ def main():
         "steps_per_s": round(steps_per_s, 3),
         "audio_seconds_trained_per_s": round(steps_per_s * utt_seconds, 1),
         "batch": B, "frames": T, "backend": jax.default_backend(),
+        "fused_wn": args.fused_wn,
     }
     print(json.dumps(out) if args.json else out)
 

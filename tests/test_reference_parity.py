@@ -29,6 +29,9 @@ torch = pytest.importorskip("torch")
 
 sys.path.insert(0, "/root/reference")  # oracle only — never copied
 
+# torch-oracle numerical parity: minutes of compile + oracle eval
+pytestmark = pytest.mark.slow
+
 import flax
 from vispeech_tpu.models.synthesizer import Synthesizer
 

@@ -4,6 +4,7 @@ parameters actually update, RNG state advances."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vispeech_tpu.config import Config, config_from_dict
 from vispeech_tpu.train.step import Batch, create_train_state, make_train_step
@@ -103,3 +104,37 @@ def test_train_step_runs_and_updates():
     state3, metrics3 = step_fn(state2, make_batch(1))
     assert int(state3.step) == 2
     assert np.isfinite(float(metrics3["loss/g/total"]))
+
+
+@pytest.mark.slow  # second full GAN-step compile (fused-WN config)
+def test_train_step_fused_wn_matches_xla():
+    """cfg.train.fused_wn routes the posterior/flow WN stacks through the
+    differentiable Pallas kernel (interpret mode on CPU); one full GAN step
+    must produce the same losses and parameter updates as the XLA path."""
+    import dataclasses
+
+    fused_cfg = dataclasses.replace(
+        TINY_CFG, train=dataclasses.replace(TINY_CFG.train, fused_wn=True)
+    )
+    batch = make_batch()
+    results = {}
+    for name, cfg in (("xla", TINY_CFG), ("fused", fused_cfg)):
+        state, model_g, model_d = create_train_state(
+            cfg, jax.random.PRNGKey(0), n_vocab=40, batch=batch,
+            steps_per_epoch=10,
+        )
+        step_fn = jax.jit(make_train_step(cfg, model_g, model_d, steps_per_epoch=10))
+        new_state, metrics = step_fn(state, batch)
+        results[name] = (jax.device_get(new_state.params_g), jax.device_get(metrics))
+
+    for k in results["xla"][1]:
+        np.testing.assert_allclose(
+            float(results["fused"][1][k]), float(results["xla"][1][k]),
+            rtol=2e-3, atol=2e-4, err_msg=f"metric {k}",
+        )
+    flat_a = jax.tree_util.tree_leaves(results["xla"][0])
+    flat_b = jax.tree_util.tree_leaves(results["fused"][0])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4
+        )

@@ -14,6 +14,9 @@ from scipy.io import wavfile
 
 from vispeech_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
+# several-minute XLA CPU compiles of the GAN step at bucket shapes + eval
+pytestmark = pytest.mark.slow
+
 
 HOP = 64
 

@@ -92,6 +92,52 @@ class TestCheckpoint:
         assert restored is state
 
 
+class TestAsyncCheckpointer:
+    def test_async_roundtrip_and_prune(self, tmp_path):
+        from vispeech_tpu.utils.checkpoint import AsyncCheckpointer
+
+        d = str(tmp_path)
+        ckpt = AsyncCheckpointer(keep=2)
+        for s in (1, 2, 3):
+            ckpt.save(d, make_state(seed=s), step=s)
+        ckpt.wait()
+        assert list_checkpoint_steps(d) == [2, 3]
+        restored, step = load_checkpoint(d, make_state(seed=0))
+        assert step == 3 and int(restored.step) == 3
+
+    def test_snapshot_is_consistent(self, tmp_path):
+        """State mutated right after save() must not leak into the write."""
+        from vispeech_tpu.utils.checkpoint import AsyncCheckpointer
+
+        d = str(tmp_path)
+        ckpt = AsyncCheckpointer()
+        state = make_state(seed=4)
+        ckpt.save(d, state, step=1)
+        # mutate the caller's arrays via a donated-style overwrite
+        state = state.replace(
+            params_g=jax.tree_util.tree_map(lambda a: a * 0 - 1.0, state.params_g)
+        )
+        ckpt.wait()
+        restored, _ = load_checkpoint(d, make_state(seed=0))
+        np.testing.assert_allclose(
+            np.asarray(restored.params_g["dense"]["kernel"]), 4.0
+        )
+
+    def test_write_error_is_raised(self, tmp_path):
+        from vispeech_tpu.utils.checkpoint import AsyncCheckpointer
+
+        target = tmp_path / "blocked"
+        target.write_text("not a directory")  # makedirs will fail
+        ckpt = AsyncCheckpointer()
+        ckpt.save(str(target), make_state(), step=1)
+        with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+            ckpt.wait()
+        # error is consumed: a following save works elsewhere
+        ckpt.save(str(tmp_path / "ok"), make_state(seed=2), step=2)
+        ckpt.wait()
+        assert latest_checkpoint_step(str(tmp_path / "ok")) == 2
+
+
 class TestLogger:
     def test_scalars_and_media(self, tmp_path):
         from vispeech_tpu.utils.logging import TrainLogger

@@ -46,6 +46,9 @@ class TrainConfig:
     c_mel: float = 45.0
     c_kl: float = 1.0
     save_dir: str = "./logdir/vispeech"
+    # differentiable fused WN stack (Pallas custom VJP) in the posterior
+    # encoder + flow couplings during training (ops/pallas/wn_stack_train.py)
+    fused_wn: bool = False
 
 
 @dataclass(frozen=True)

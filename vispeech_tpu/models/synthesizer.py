@@ -111,6 +111,7 @@ class PosteriorEncoder(nn.Module):
     dilation_rate: int = 1
     n_layers: int = 16
     gin_channels: int = 0
+    trainable_fused_wn: bool = False
 
     @nn.compact
     def __call__(
@@ -128,6 +129,7 @@ class PosteriorEncoder(nn.Module):
             self.dilation_rate,
             self.n_layers,
             gin_channels=self.gin_channels,
+            trainable_fused=self.trainable_fused_wn,
             name="enc",
         )(x, x_mask, g=g, deterministic=deterministic)
         stats = Conv1d(2 * self.out_channels, 1, name="proj")(x) * x_mask
@@ -147,6 +149,7 @@ class ResidualCouplingBlock(nn.Module):
     n_layers: int = 4
     n_flows: int = 4
     gin_channels: int = 0
+    trainable_fused_wn: bool = False
 
     def setup(self):
         self.couplings = [
@@ -158,6 +161,7 @@ class ResidualCouplingBlock(nn.Module):
                 self.n_layers,
                 gin_channels=self.gin_channels,
                 mean_only=True,
+                trainable_fused_wn=self.trainable_fused_wn,
             )
             for _ in range(self.n_flows)
         ]
@@ -240,6 +244,9 @@ class Synthesizer(nn.Module):
     decode_dtype: str = "float32"      # "float32" | "bfloat16"
     fused_decode: bool = False         # Pallas/folded MRF stages (infer-only)
     attn_pallas: Optional[bool] = None  # None=auto, True/False=force
+    # Training policy: differentiable fused WN stack (custom VJP) in the
+    # posterior encoder + flow couplings (cfg.train.fused_wn)
+    train_fused_wn: bool = False
 
     @classmethod
     def from_config(
@@ -277,6 +284,7 @@ class Synthesizer(nn.Module):
             n_speakers=cfg.data.n_speakers,
             gin_channels=m.gin_channels,
             use_sdp=m.use_sdp,
+            train_fused_wn=cfg.train.fused_wn,
         )
 
     @classmethod
@@ -300,10 +308,12 @@ class Synthesizer(nn.Module):
         self.enc_q = PosteriorEncoder(
             self.inter_channels, self.hidden_channels, 5, 1, 16,
             gin_channels=self.gin_channels,
+            trainable_fused_wn=self.train_fused_wn,
         )
         self.flow = ResidualCouplingBlock(
             self.inter_channels, self.hidden_channels, 5, 1, 4,
             gin_channels=self.gin_channels,
+            trainable_fused_wn=self.train_fused_wn,
         )
         if self.use_sdp:
             self.sdp = StochasticDurationPredictor(

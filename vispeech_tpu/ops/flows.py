@@ -75,6 +75,7 @@ class ResidualCouplingLayer(nn.Module):
     p_dropout: float = 0.0
     gin_channels: int = 0
     mean_only: bool = False
+    trainable_fused_wn: bool = False
 
     @nn.compact
     def __call__(
@@ -95,6 +96,7 @@ class ResidualCouplingLayer(nn.Module):
             self.n_layers,
             gin_channels=self.gin_channels,
             p_dropout=self.p_dropout,
+            trainable_fused=self.trainable_fused_wn,
             name="enc",
         )(h, x_mask, g=g, deterministic=deterministic)
         stats = Conv1d(

@@ -41,6 +41,10 @@ class WN(nn.Module):
     gin_channels: int = 0
     p_dropout: float = 0.0
     use_pallas: Optional[bool] = None
+    # differentiable fused stack for TRAINING (custom VJP,
+    # ops/pallas/wn_stack_train.py); requires p_dropout == 0 (dropout would
+    # change the math) and dilation_rate == 1 — both true for every WN here
+    trainable_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -51,8 +55,7 @@ class WN(nn.Module):
         deterministic: bool = True,
     ) -> Array:
         C = self.hidden_channels
-        # strictly inference-only: the kernel defines no JVP, and training
-        # wants the XLA path's standard forward+backward anyway
+        # inference-only fused path: the kernel defines no JVP
         pallas_ok = self.dilation_rate == 1 and deterministic
         import os
 
@@ -67,6 +70,12 @@ class WN(nn.Module):
         )
         if use_pallas and pallas_ok:
             return self._fused(x, x_mask, g)
+        if (
+            self.trainable_fused
+            and self.dilation_rate == 1
+            and self.p_dropout == 0.0
+        ):
+            return self._fused(x, x_mask, g, trainable=True)
         if g is not None:
             # one 1×1 over the conditioning for all layers at once
             g_all = WNConv1d(2 * C * self.n_layers, 1, name="cond_layer")(g)
@@ -90,9 +99,13 @@ class WN(nn.Module):
                 output = output + WNConv1d(C, 1, name=f"res_skip_{i}")(acts)
         return output * x_mask
 
-    def _fused(self, x: Array, x_mask: Array, g: Optional[Array]) -> Array:
+    def _fused(
+        self, x: Array, x_mask: Array, g: Optional[Array],
+        trainable: bool = False,
+    ) -> Array:
         """Single-kernel path: same submodules/params as the XLA loop above,
-        weights stacked and streamed through ops/pallas/wn_stack.py."""
+        weights stacked and streamed through ops/pallas/wn_stack.py (or its
+        differentiable twin wn_stack_train when ``trainable``)."""
         from vispeech_tpu.ops.pallas.wn_stack import pack_wn_weights, wn_stack
 
         C = self.hidden_channels
@@ -121,6 +134,13 @@ class WN(nn.Module):
                 jnp.einsum("bsg,gm->bm", g.astype(jnp.float32), ck[0]) + cb
             )  # g is [B, 1, G]
             cond = cond + g_vec.reshape(B, L, 2 * C)
+        if trainable:
+            from vispeech_tpu.ops.pallas.wn_stack_train import wn_stack_train
+
+            return wn_stack_train(
+                x, x_mask, cond, w_in, w_rs, b_rs, self.kernel_size,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(x.dtype)
         return wn_stack(
             x, x_mask, cond, w_in, w_rs, b_rs, self.kernel_size,
             interpret=jax.default_backend() != "tpu",

@@ -36,8 +36,8 @@ from vispeech_tpu.utils import (
     get_logger,
     latest_checkpoint_step,
     load_checkpoint,
-    save_checkpoint,
 )
+from vispeech_tpu.utils.checkpoint import AsyncCheckpointer
 from vispeech_tpu.utils.plotting import line_plot_image, spectrogram_image
 
 
@@ -115,6 +115,9 @@ class Trainer:
             donate_argnums=0,
         )
         self._infer_fn = None  # built lazily (static t_frames)
+        # async checkpointing: the step loop overlaps the npz write; the
+        # collective gather + device→host snapshot stay synchronous
+        self._checkpointer = AsyncCheckpointer(keep=2)
 
     # ------------------------------------------------------------------ utils
 
@@ -167,6 +170,7 @@ class Trainer:
                     step = self.global_step
                     if max_steps is not None and step >= max_steps:
                         self._save(step)
+                        self._checkpointer.wait()  # durable before returning
                         return
                     batch = shard_batch(batch, self.mesh)
                     self.state, metrics = self._step_fn(self.state, batch)
@@ -193,9 +197,10 @@ class Trainer:
                         if jax.process_index() == 0:
                             self.evaluate(step)
                         self._save(step)
+            self._checkpointer.wait()
 
     def _save(self, step: int) -> None:
-        save_checkpoint(self.save_dir, self.state, step, keep=2)
+        self._checkpointer.save(self.save_dir, self.state, step)
 
     # ------------------------------------------------------------------- eval
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 import logging
 import os
 import re
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -137,6 +138,67 @@ def prune_checkpoints(base_dir: str, keep: int = 2) -> None:
             logger.info("Pruned stale checkpoint %s", path)
         except OSError:
             pass
+
+
+class AsyncCheckpointer:
+    """Preemption-safe asynchronous checkpointing.
+
+    ``save`` performs the *collective* part synchronously — the TP host-gather
+    (every process participates) and the device→host copy, so the snapshot is
+    consistent even though training mutates the state immediately after — then
+    hands the serialization + atomic rename + prune to a single background
+    thread and returns.  Training overlaps the file write (the dominant cost:
+    ~1 GB of npz for the flagship state) instead of stalling the step loop.
+
+    Semantics follow orbax's AsyncCheckpointer: at most one write in flight
+    (a new ``save`` first waits for the previous one); ``wait()`` blocks until
+    the pending write is durable; an error in the background write is
+    re-raised at the next ``save``/``wait`` so failures are never silent.
+    Only process 0 writes; other processes return after the gather.
+    """
+
+    def __init__(self, keep: int = 2):
+        self.keep = keep
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, base_dir: str, state: Any, step: int) -> str:
+        self.wait()
+        path = _ckpt_path(base_dir, step)
+        state = gather_state_to_host(state)
+        if jax.process_index() != 0:
+            return path
+        flat = flatten_state(state)  # device→host copy: snapshot is immutable
+
+        def _write():
+            try:
+                os.makedirs(os.path.abspath(base_dir), exist_ok=True)
+                tmp = path + ".tmp.npz"
+                with open(tmp, "wb") as f:
+                    np.savez(f, **flat)
+                os.replace(tmp, path)
+                logger.info(
+                    "Saved checkpoint at step %d -> %s (%d arrays, async)",
+                    step, path, len(flat),
+                )
+                prune_checkpoints(base_dir, keep=self.keep)
+            except BaseException as e:  # re-raised on the training thread
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name=f"ckpt-write-{step}", daemon=True
+        )
+        self._thread.start()
+        return path
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) is durable on disk."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
 
 def load_checkpoint(
