@@ -161,6 +161,16 @@ class TestServer:
         assert obj["phones"]
         assert len(obj["f0"]) == len(obj["phones"])
 
+    def test_frontend_failure_is_400(self, server):
+        """Text the frontend can't phonemize (en without g2p_en/lexicon) is a
+        client error, not a 500."""
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{server}/tts?text=abcxyz")
+        assert exc.value.code == 400
+        assert "frontend" in json.loads(exc.value.read())["error"]
+
     def test_gui_page(self, server):
         with urllib.request.urlopen(f"{server}/") as r:
             body = r.read().decode()

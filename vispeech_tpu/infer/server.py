@@ -196,10 +196,19 @@ def make_handler(engine, lock: threading.Lock):
                     raise ValueError(f"sr={sr_out}")
             except (TypeError, ValueError) as e:
                 return self._json(400, {"error": f"bad parameter: {e}"})
+            if not phones:
+                # frontend failures (unsupported language without its
+                # optional dep, no valid phones) are client errors: 400
+                try:
+                    phones = engine.phonemes(text)
+                    if not phones:
+                        raise ValueError("text produced no phonemes")
+                except Exception as e:  # noqa: BLE001
+                    return self._json(400, {"error": f"text frontend: {e}"})
             if not lock.acquire(blocking=False):
                 return self._json(503, {"error": "server busy"})
             try:
-                out = engine.synthesize(text=text, phones=phones, **kwargs)
+                out = engine.synthesize(phones=phones, **kwargs)
             except Exception as e:  # noqa: BLE001
                 return self._json(500, {"error": str(e)})
             finally:
@@ -238,10 +247,16 @@ def make_handler(engine, lock: threading.Lock):
                     raise ValueError(f"sr={sr_out}")
             except ValueError as e:
                 return self._json(400, {"error": f"bad parameter: {e}"})
+            try:
+                phones = engine.phonemes(text)
+                if not phones:
+                    raise ValueError("text produced no phonemes")
+            except Exception as e:  # noqa: BLE001
+                return self._json(400, {"error": f"text frontend: {e}"})
             if not lock.acquire(blocking=False):
                 return self._json(503, {"error": "server busy"})
             try:
-                out = engine.synthesize(text=text, **kwargs)
+                out = engine.synthesize(phones=phones, **kwargs)
             except Exception as e:  # noqa: BLE001
                 return self._json(500, {"error": str(e)})
             finally:

@@ -414,6 +414,7 @@ class Synthesizer(nn.Module):
         energy_control=None,    # None | float | [B, N] array (absolute energy)
         pitch_control=None,     # None | float | [B, N] array (Hz)
         duration_control=None,  # None | float | [B, N] array (frames)
+        eps: Optional[Array] = None,  # [B, T, inter] prior noise (None: rng)
         deterministic: bool = True,
     ):
         """Inference with per-phoneme prosody overrides (models.py:672-722).
@@ -421,7 +422,43 @@ class Synthesizer(nn.Module):
         Scalar controls multiply predictions; array controls replace them —
         the GUI prosody-editing contract (gui.py:82-113).  `t_frames` is the
         static frame budget (padded bucket); frames beyond the realized
-        duration are masked.
+        duration are masked.  Composition of the two pipeline stages
+        ``infer_prior`` → ``infer_decode`` (parallel/pipeline.py splits them
+        across a 'stage' mesh axis).
+        """
+        z_p, frame_mask, duration, f0, energy, (m_p, logs_p) = self.infer_prior(
+            phonemes, phoneme_lengths, t_frames, sid=sid,
+            noise_scale=noise_scale, energy_control=energy_control,
+            pitch_control=pitch_control, duration_control=duration_control,
+            eps=eps, deterministic=deterministic,
+        )
+        o, z, frame_mask = self.infer_decode(
+            z_p, frame_mask, sid=sid, max_len=max_len,
+            deterministic=deterministic,
+        )
+        return o, frame_mask, (z, z_p, m_p, logs_p), duration, f0, energy
+
+    def infer_prior(
+        self,
+        phonemes: Array,
+        phoneme_lengths: Array,
+        t_frames: int,
+        sid: Optional[Array] = None,
+        noise_scale: float = 1.0,
+        energy_control=None,
+        pitch_control=None,
+        duration_control=None,
+        eps: Optional[Array] = None,
+        deterministic: bool = True,
+    ):
+        """Pipeline stage 1: text → sampled prior latent z_p.
+
+        Text encoder → variance adapter (duration/pitch/energy with the
+        prosody-override contract) → length regulation → FramePriorNet →
+        projection → z_p = m_p + eps·exp(logs_p)·noise_scale.  `eps` injects
+        the prior noise explicitly (pipeline microbatching / reproducibility);
+        None draws from the 'sample' rng stream.
+        Returns (z_p, frame_mask, duration, f0_Hz, energy).
         """
         g = self._speaker(sid)
         x, x_mask = self.enc_p(phonemes, phoneme_lengths, deterministic=deterministic)
@@ -470,15 +507,32 @@ class Synthesizer(nn.Module):
 
         x_frame = self.frame_prior_net(x_frame, frame_mask, deterministic=deterministic)
         m_p, logs_p = self.project(x_frame, frame_mask)
-        eps = jax.random.normal(self.make_rng("sample"), m_p.shape, m_p.dtype)
+        if eps is None:
+            eps = jax.random.normal(self.make_rng("sample"), m_p.shape, m_p.dtype)
         z_p = m_p + eps * jnp.exp(logs_p) * noise_scale
+        return z_p, frame_mask, duration, f0, energy, (m_p, logs_p)
+
+    def infer_decode(
+        self,
+        z_p: Array,
+        frame_mask: Array,
+        sid: Optional[Array] = None,
+        max_len: Optional[int] = None,
+        deterministic: bool = True,
+    ):
+        """Pipeline stage 2: sampled prior → waveform.
+
+        Flow reverse (4 couplings) → vocoder under the serving policy
+        (`_decode`).  Returns (audio, z, frame_mask[, :max_len]).
+        """
+        g = self._speaker(sid)
         z = self.flow(z_p, frame_mask, g=g, reverse=True, deterministic=deterministic)
         z = z * frame_mask
         if max_len is not None:
             z = z[:, :max_len]
             frame_mask = frame_mask[:, :max_len]
         o = self._decode(z, g)
-        return o, frame_mask, (z, z_p, m_p, logs_p), duration, f0, energy
+        return o, z, frame_mask
 
     def _decode(self, z: Array, g: Optional[Array]) -> Array:
         """Vocoder call under the explicit serving policy (ops/policy.py):

@@ -100,7 +100,7 @@ def ring_relative_self_attention(
         return (k_blk, v_blk, m_blk, m_new, l_new, acc, acc_band)
 
     def vary(x):  # tag fresh accumulators as varying over the ring axis
-        return jax.lax.pvary(x, axis_name)
+        return jax.lax.pcast(x, axis_name, to="varying")
 
     init = (
         k, v, key_mask,
