@@ -116,6 +116,37 @@ class TestTrainer:
         trainer2.train(max_steps=6)
         assert trainer2.global_step == 6
 
+    def test_preemption_sigterm_checkpoints_and_exits(self, workspace):
+        """SIGTERM during train() checkpoints at the next step boundary and
+        returns cleanly (TPU-pod preemption contract); a fresh trainer
+        resumes from that checkpoint."""
+        import signal
+        import threading
+
+        from vispeech_tpu.train.loop import Trainer
+        from vispeech_tpu.utils.checkpoint import latest_checkpoint_step
+
+        tmp_path, cfg = workspace
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train,
+                save_dir=str(tmp_path / "run_preempt"),
+                eval_interval=10_000,  # never evals/saves on its own
+            ),
+        )
+        trainer = Trainer(cfg, data_root=str(tmp_path / "dataset"))
+        threading.Timer(
+            0.5, lambda: os.kill(os.getpid(), signal.SIGTERM)
+        ).start()
+        trainer.train(max_steps=10_000)  # returns instead of running 10k
+        saved = latest_checkpoint_step(cfg.train.save_dir)
+        assert saved is not None
+        assert trainer.global_step < 10_000
+
+        trainer2 = Trainer(cfg, data_root=str(tmp_path / "dataset"))
+        assert trainer2.resume() == saved
+
     def test_loss_finiteness(self, workspace):
         """One more step; every logged loss must be finite."""
         import jax

@@ -242,6 +242,10 @@ def _fwd(x, mask, cond, w_in, w_rs, b_rs, kernel_size, interpret):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # flagship training shapes (B12 x T1024 x C192, 2C=384 gate) put
+            # blocks + double buffering + stack temporaries over the default
+            # 16 MB scoped-VMEM budget; v5e has 128 MB of VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -313,6 +317,10 @@ def _bwd(kernel_size, interpret, residuals, dout):
         scratch_shapes=[pltpu.VMEM((Tp, C), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # flagship training shapes (B12 x T1024 x C192, 2C=384 gate) put
+            # blocks + double buffering + stack temporaries over the default
+            # 16 MB scoped-VMEM budget; v5e has 128 MB of VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

@@ -118,6 +118,8 @@ class Trainer:
         # async checkpointing: the step loop overlaps the npz write; the
         # collective gather + device→host snapshot stay synchronous
         self._checkpointer = AsyncCheckpointer(keep=2)
+        # preemption flag: set by request_stop() / SIGTERM during train()
+        self._stop_requested = False
 
     # ------------------------------------------------------------------ utils
 
@@ -158,16 +160,49 @@ class Trainer:
         for raw in data_loader(self.train_set, self.sampler, epoch):
             yield Batch(**raw)
 
+    def request_stop(self) -> None:
+        """Ask the training loop to checkpoint and exit at the next step
+        boundary — preemption-safe shutdown (elastic recovery is resume()
+        from that checkpoint).  Called by the SIGTERM handler train()
+        installs; safe to call from any thread."""
+        self._stop_requested = True
+
     def train(self, max_steps: Optional[int] = None) -> None:
         cfg = self.cfg
         start_step = self.global_step
         start_epoch = start_step // self.steps_per_epoch
         self.logger.info("starting at step %d (epoch %d)", start_step, start_epoch)
         t0 = time.time()
+        # TPU-pod preemption arrives as SIGTERM: checkpoint, then exit
+        # cleanly so the rescheduled job resumes from this step.
+        import signal
+
+        old_handler = None
+        try:
+            old_handler = signal.signal(
+                signal.SIGTERM, lambda signum, frame: self.request_stop()
+            )
+        except ValueError:  # pragma: no cover - non-main thread
+            pass
+        try:
+            self._train_loop(cfg, start_epoch, max_steps, t0)
+        finally:
+            if old_handler is not None:
+                signal.signal(signal.SIGTERM, old_handler)
+
+    def _train_loop(self, cfg, start_epoch, max_steps, t0) -> None:
         with self.mesh:
             for epoch in range(start_epoch, cfg.train.epochs):
                 for batch in self._batches(epoch):
                     step = self.global_step
+                    if self._stop_requested:
+                        self.logger.info(
+                            "stop requested (preemption) — saving at step %d",
+                            step,
+                        )
+                        self._save(step)
+                        self._checkpointer.wait()
+                        return
                     if max_steps is not None and step >= max_steps:
                         self._save(step)
                         self._checkpointer.wait()  # durable before returning
