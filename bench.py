@@ -54,7 +54,9 @@ def bench_e2e(cfg, on_tpu: bool):
 
     # explicit serving policy (ops/policy.py): bf16 + fused kernels on TPU
     model = Synthesizer.for_serving(cfg, N_SYMBOLS)
-    B, N, T = (8, 192, 1408) if on_tpu else (1, 16, 64)
+    # batch 16 is the measured throughput plateau on v5e (528/1025/1062/1061
+    # audio-s/s at B=4/8/16/32 — benchmarks/bench_serving_sweep.py)
+    B, N, T = (16, 192, 1408) if on_tpu else (1, 16, 64)
     rng = np.random.RandomState(0)
     ph = jnp.asarray(rng.randint(1, N_SYMBOLS, (B, N)), jnp.int32)
     lens = jnp.full((B,), N, jnp.int32)
