@@ -233,6 +233,35 @@ class TestMRFStage:
                                    rtol=2e-4, atol=2e-5)
 
 
+class TestFoldedMRFPallasKernel:
+    """VMEM-fused folded MRF (mrf_stack_folded) vs the XLA folded path —
+    the measured-alternative kernel for the C<64 vocoder tail (kept for
+    dispatch reproducibility; XLA currently wins on v5e)."""
+
+    def test_matches_xla_folded_across_tiles(self):
+        from vispeech_tpu.ops.folded_mrf import mrf_stage_folded
+        from vispeech_tpu.ops.pallas.mrf_stage import mrf_stack_folded
+
+        r = np.random.RandomState(0)
+        B, T, C, fold = 2, 512, 16, 4
+        ks, dils = (3, 7, 11), ((1, 3, 5),) * 3
+        x = jnp.asarray(r.randn(B, T, C).astype(np.float32))
+        packed = tuple(
+            tuple(
+                jnp.asarray(a.astype(np.float32))
+                for a in (r.randn(3, k, C, C) * 0.05, r.randn(3, 1, C) * 0.1,
+                          r.randn(3, k, C, C) * 0.05, r.randn(3, 1, C) * 0.1)
+            )
+            for k in ks
+        )
+        ref = mrf_stage_folded(x, packed, ks, dils, fold)
+        out = mrf_stack_folded(x, packed, ks, dils, fold=fold, tile=128,
+                               interpret=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=2e-5)
+
+
 class TestFoldedMRF:
     """Polyphase channel-folded MRF stage vs the XLA ResBlock1 path
     (ops/folded_mrf.py — exact in float32, any backend)."""

@@ -268,3 +268,170 @@ def mrf_stack(
         interpret=interpret,
     )(x_cm, x_cm, x_cm, *flat)
     return out.transpose(0, 2, 1)[:, :T]
+
+
+# ------------------------------------------------- folded narrow-channel tail
+
+
+def _conv_offsets(h, w_ref, bias, offsets, dtype, interpret):
+    """Multi-tap conv with explicit integer tap offsets, channel-major:
+    y[:, t] = Σ_i w[i]ᵀ h[:, t + offsets[i]] + bias.  h [C, Tw] f32."""
+    y = None
+    for i, off in enumerate(offsets):
+        part = jax.lax.dot_general(
+            w_ref[i],
+            _roll_lanes(h, off, interpret).astype(dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = part if y is None else y + part
+    return y + bias
+
+
+def _mrf_folded_kernel(
+    left_ref, mid_ref, right_ref,     # [1, C', tile] folded, ch-major
+    *refs,
+    offsets: Tuple[Tuple[Tuple[Tuple[int, ...], Tuple[int, ...]], ...], ...],
+    tile: int,
+    t_total: int,                     # folded frames
+    interpret: bool,
+):
+    """Same ResBlock1-stack structure as _mrf_kernel, but each conv is a
+    folded conv given by explicit tap offsets (polyphase decomposition of a
+    dilated SAME conv — ops/folded_mrf.py)."""
+    n_refs = sum(4 * len(units) for units in offsets)
+    w_refs = refs[:n_refs]
+    o_ref = refs[n_refs]
+
+    t = pl.program_id(1)
+    gpos = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, tile + 2 * HALO), 1)
+        + t * tile - HALO
+    )
+    valid = jnp.logical_and(gpos >= 0, gpos < t_total).astype(jnp.float32)
+
+    dtype = mid_ref.dtype
+    x = jnp.concatenate(
+        [left_ref[0][:, tile - HALO :], mid_ref[0], right_ref[0][:, :HALO]],
+        axis=1,
+    ).astype(jnp.float32) * valid
+
+    acc = None
+    r = 0
+    for units in offsets:
+        state = x
+        for off1, off2 in units:
+            w1, b1, w2, b2 = w_refs[r : r + 4]
+            r += 4
+            h = _leaky(state)
+            y = _conv_offsets(h, w1, b1[...].astype(jnp.float32), off1,
+                              dtype, interpret)
+            h = _leaky(y * valid)
+            y = _conv_offsets(h, w2, b2[...].astype(jnp.float32), off2,
+                              dtype, interpret)
+            state = state + y * valid
+        acc = state if acc is None else acc + state
+    out = (acc / len(offsets)).astype(o_ref.dtype)
+    o_ref[0] = out[:, HALO : HALO + tile]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_sizes", "dilations", "fold", "tile", "interpret"),
+)
+def mrf_stack_folded(
+    x: Array,                              # [B, T, C], T % fold == 0
+    packed: Tuple[BranchWeights, ...],
+    kernel_sizes: Tuple[int, ...] = (3, 7, 11),
+    dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3,
+    fold: int = 4,
+    tile: int = 0,
+    interpret: bool = False,
+) -> Array:
+    """Polyphase-folded MRF stage fused into one VMEM-resident kernel.
+
+    Numerically identical to the XLA folded path (ops/folded_mrf.py, tested
+    in interpret mode).  Measured on v5e at the flagship C=32 tail
+    (B16 × 720896 samples, bf16): 78.0 ms (tile 2048) vs 72.9 ms XLA —
+    the folded stage is compute-bound, not HBM-bound (XLA already fuses the
+    leaky/residual chains between convs), so the halo recompute of this
+    kernel loses.  The generator therefore keeps the XLA folded dispatch at
+    C<64 (models/generator.py); this kernel stays as the measured
+    alternative so the dispatch decision is reproducible.  Inference-only,
+    like mrf_stack.
+    """
+    from vispeech_tpu.ops.folded_mrf import fold_conv_weights
+
+    B, T, C = x.shape
+    if T % fold:
+        raise ValueError(f"T={T} not divisible by fold={fold}")
+    Cf = fold * C
+    Tf = T // fold
+    tile = tile or _pick_tile(Cf)
+    tile = _round_up(tile, 128)
+
+    flat = []
+    offsets = []
+    for (w1, b1, w2, b2), k, dils in zip(packed, kernel_sizes, dilations):
+        units = []
+        for j, d in enumerate(dils):
+            wf1, bf1, p1 = fold_conv_weights(w1[j], b1[j, 0], d, fold)
+            wf2, bf2, p2 = fold_conv_weights(w2[j], b2[j, 0], 1, fold)
+            off1 = tuple(range(-p1[0], p1[1] + 1))
+            off2 = tuple(range(-p2[0], p2[1] + 1))
+            units.append((off1, off2))
+            flat += [
+                wf1.astype(x.dtype), bf1.astype(jnp.float32)[:, None],
+                wf2.astype(x.dtype), bf2.astype(jnp.float32)[:, None],
+            ]
+        offsets.append(tuple(units))
+    offsets = tuple(offsets)
+    assert branch_halo(
+        kernel_sizes, dilations
+    ) // fold + 1 <= HALO <= tile, "folded receptive radius exceeds halo"
+
+    Tfp = _round_up(Tf, tile)
+    x_cm = jnp.pad(
+        x.reshape(B, Tf, Cf), ((0, 0), (0, Tfp - Tf), (0, 0))
+    ).transpose(0, 2, 1)
+    nt = Tfp // tile
+
+    x_specs = [
+        pl.BlockSpec((1, Cf, tile), lambda b, t: (b, 0, jnp.maximum(t - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Cf, tile), lambda b, t: (b, 0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, Cf, tile),
+            lambda b, t, nt=nt: (b, 0, jnp.minimum(t + 1, nt - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    w_specs = [
+        pl.BlockSpec(a.shape, lambda b, t, n=a.ndim: (0,) * n,
+                     memory_space=pltpu.VMEM)
+        for a in flat
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _mrf_folded_kernel,
+            offsets=offsets,
+            tile=tile,
+            t_total=Tf,
+            interpret=interpret,
+        ),
+        grid=(B, nt),
+        in_specs=x_specs + w_specs,
+        out_specs=pl.BlockSpec((1, Cf, tile), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Cf, Tfp), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # 36 weight blocks + the f32 window/temporaries exceed the 16 MB
+            # default scoped budget at tile 1024-2048
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_cm, x_cm, x_cm, *flat)
+    return out.transpose(0, 2, 1)[:, :Tf].reshape(B, Tf * fold, C)
