@@ -20,6 +20,9 @@ def main():
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=1,
                    help="size of the 'model' mesh axis (tensor parallelism)")
+    p.add_argument("--profile", default=None, metavar="START:STOP",
+                   help="capture an XLA/TPU trace of steps [START, STOP) "
+                        "into save_dir/profile (view in TensorBoard/Perfetto)")
     from vispeech_tpu.utils.platform import add_platform_arg, apply_platform
 
     add_platform_arg(p)
@@ -42,10 +45,15 @@ def main():
             cfg, train=dataclasses.replace(cfg.train, save_dir=args.model_dir)
         )
 
+    profile_steps = None
+    if args.profile:
+        lo, _, hi = args.profile.partition(":")
+        profile_steps = (int(lo), int(hi))
+
     trainer = Trainer(cfg, data_root=args.data_root,
                       model_parallel=args.model_parallel)
     trainer.resume()
-    trainer.train(max_steps=args.max_steps)
+    trainer.train(max_steps=args.max_steps, profile_steps=profile_steps)
 
 
 if __name__ == "__main__":

@@ -120,6 +120,7 @@ class Trainer:
         self._checkpointer = AsyncCheckpointer(keep=2)
         # preemption flag: set by request_stop() / SIGTERM during train()
         self._stop_requested = False
+        self._profiling = False
 
     # ------------------------------------------------------------------ utils
 
@@ -167,7 +168,13 @@ class Trainer:
         installs; safe to call from any thread."""
         self._stop_requested = True
 
-    def train(self, max_steps: Optional[int] = None) -> None:
+    def train(
+        self,
+        max_steps: Optional[int] = None,
+        profile_steps: Optional[tuple] = None,
+    ) -> None:
+        """`profile_steps=(lo, hi)` captures an XLA/TPU trace of steps
+        [lo, hi) into save_dir/profile (utils/profiling.py; process 0)."""
         cfg = self.cfg
         start_step = self.global_step
         start_epoch = start_step // self.steps_per_epoch
@@ -185,16 +192,41 @@ class Trainer:
         except ValueError:  # pragma: no cover - non-main thread
             pass
         try:
-            self._train_loop(cfg, start_epoch, max_steps, t0)
+            self._train_loop(cfg, start_epoch, max_steps, t0, profile_steps)
         finally:
             if old_handler is not None:
                 signal.signal(signal.SIGTERM, old_handler)
+            self._stop_profile()
 
-    def _train_loop(self, cfg, start_epoch, max_steps, t0) -> None:
+    def _start_profile(self) -> None:
+        if not self._profiling:
+            jax.profiler.start_trace(os.path.join(self.save_dir, "profile"))
+            self._profiling = True
+            self.logger.info("profiler trace started -> %s/profile", self.save_dir)
+
+    def _stop_profile(self) -> None:
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            from vispeech_tpu.utils.profiling import device_memory_stats
+
+            for dev, s in device_memory_stats().items():
+                self.logger.info(
+                    "profiler trace stopped; %s peak HBM %.1f MiB / %.1f MiB",
+                    dev, s["peak_bytes_in_use"] / 2**20, s["bytes_limit"] / 2**20,
+                )
+
+    def _train_loop(self, cfg, start_epoch, max_steps, t0, profile_steps) -> None:
+        profile_steps = profile_steps if jax.process_index() == 0 else None
         with self.mesh:
             for epoch in range(start_epoch, cfg.train.epochs):
                 for batch in self._batches(epoch):
                     step = self.global_step
+                    if profile_steps is not None:
+                        if step >= profile_steps[1]:
+                            self._stop_profile()
+                        elif step >= profile_steps[0]:
+                            self._start_profile()
                     if self._stop_requested:
                         self.logger.info(
                             "stop requested (preemption) — saving at step %d",
