@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Serving latency + realistic-shape throughput (round-2 review items (a)+(b)).
+
+(a) Per-request latency at B=1 — wall time from host input to the audio
+    ndarray on the host (device_get forces the transfer, the only reliable
+    sync on the tunneled TPU), per frame bucket; p50/p95 over many requests.
+    This is the number the reference printed per request
+    (reference inference_api.py:43-54) and bench.py's batch throughput hides.
+
+(b) Throughput under a sampled utterance-length distribution routed through
+    the REAL bucket path (infer/pipeline._pick_bucket): requests are
+    bucketed, batched (≤ --batch per bucket, dummy-padded tail batches),
+    and every batch is synthesized + fetched; reports EFFECTIVE
+    audio-seconds/s (real frames only) and padding efficiency — the number
+    the bucket design (data/dataset.py:14-18) exists to keep high.
+
+    python benchmarks/bench_serving_latency.py [--requests 256] [--batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_infer(cfg, B: int, T: int):
+    from vispeech_tpu.models import Synthesizer
+    from vispeech_tpu.text.symbols import N_SYMBOLS
+
+    model = Synthesizer.for_serving(cfg, N_SYMBOLS)
+    N = max(T // 8, 8)
+    rng = np.random.RandomState(0)
+    ph = jnp.asarray(rng.randint(1, N_SYMBOLS, (B, N)), jnp.int32)
+    lens = jnp.full((B,), N, jnp.int32)
+    sid = jnp.zeros((B,), jnp.int32)
+    init_fn = jax.jit(
+        functools.partial(model.init, method=Synthesizer.infer),
+        static_argnums=(3,),
+    )
+    variables = init_fn(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ph, lens, T, sid=sid,
+    )
+
+    @jax.jit
+    def infer(variables, ph, lens, sid, seed):
+        out = model.apply(
+            variables, ph, lens, T, sid=sid, noise_scale=0.667,
+            method=type(model).infer,
+            rngs={"sample": jax.random.fold_in(jax.random.PRNGKey(3), seed)},
+        )
+        return out[0], out[1]  # audio, frame_mask
+
+    return model, variables, infer, N
+
+
+def bench_latency(cfg, buckets, n_requests: int):
+    """B=1 per-request wall-clock (ms) incl. host transfer, per bucket."""
+    out = {}
+    for T in buckets:
+        model, variables, infer, N = build_infer(cfg, 1, T)
+        rng = np.random.RandomState(1)
+        # warm (compile) — not timed
+        a, _ = infer(variables, jnp.asarray(rng.randint(1, 500, (1, N)),
+                                            jnp.int32),
+                     jnp.full((1,), N, jnp.int32), jnp.zeros((1,), jnp.int32),
+                     jnp.int32(0))
+        np.asarray(jax.device_get(a))
+        times = []
+        for i in range(n_requests):
+            ph_host = rng.randint(1, 500, (1, N)).astype(np.int32)
+            t0 = time.perf_counter()
+            audio, _ = infer(
+                variables, jnp.asarray(ph_host), jnp.full((1,), N, jnp.int32),
+                jnp.zeros((1,), jnp.int32), jnp.int32(i))
+            wav = np.asarray(jax.device_get(audio))  # host transfer = sync
+            times.append((time.perf_counter() - t0) * 1e3)
+        times = np.asarray(times)
+        audio_s = T * cfg.data.hop_length / cfg.data.sampling_rate
+        out[T] = {
+            "p50_ms": round(float(np.percentile(times, 50)), 2),
+            "p95_ms": round(float(np.percentile(times, 95)), 2),
+            "audio_seconds": round(audio_s, 2),
+            "rtf_p50": round(float(np.percentile(times, 50)) / 1e3 / audio_s, 4),
+            "n": len(times),
+        }
+        print(json.dumps({"latency_bucket": T, **out[T]}), flush=True)
+    return out
+
+
+def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0):
+    """Throughput + padding efficiency for a sampled length distribution."""
+    from vispeech_tpu.infer.pipeline import _pick_bucket
+
+    rng = np.random.RandomState(seed)
+    # lognormal utterance lengths clipped to the reference's [32, 1400] range
+    frames = np.clip(np.exp(rng.normal(6.2, 0.55, n_requests)), 48, 1400)
+    frames = frames.astype(np.int32)
+    buckets: dict = {}
+    for f in frames:
+        buckets.setdefault(_pick_bucket(int(f)), []).append(int(f))
+
+    fns = {}
+    for T in sorted(buckets):
+        fns[T] = build_infer(cfg, batch, T)
+        # warm/compile outside the timed region
+        model, variables, infer, N = fns[T]
+        a, _ = infer(variables,
+                     jnp.ones((batch, N), jnp.int32),
+                     jnp.full((batch,), N, jnp.int32),
+                     jnp.zeros((batch,), jnp.int32), jnp.int32(0))
+        np.asarray(jax.device_get(a))
+
+    real_frames = int(frames.sum())
+    padded_slots = 0
+    t0 = time.perf_counter()
+    for T, reqs in sorted(buckets.items()):
+        model, variables, infer, N = fns[T]
+        for off in range(0, len(reqs), batch):
+            group = reqs[off : off + batch]
+            padded_slots += batch * T
+            ph = np.ones((batch, N), np.int32)
+            audio, _ = infer(
+                variables, jnp.asarray(ph), jnp.full((batch,), N, jnp.int32),
+                jnp.zeros((batch,), jnp.int32), jnp.int32(off))
+            np.asarray(jax.device_get(audio))
+    dt = time.perf_counter() - t0
+
+    hop, sr = cfg.data.hop_length, cfg.data.sampling_rate
+    real_audio_s = real_frames * hop / sr
+    padded_audio_s = padded_slots * hop / sr
+    return {
+        "requests": n_requests,
+        "batch": batch,
+        "bucket_histogram": {str(k): len(v) for k, v in sorted(buckets.items())},
+        "effective_audio_s_per_s": round(real_audio_s / dt, 1),
+        "padded_audio_s_per_s": round(padded_audio_s / dt, 1),
+        "padding_efficiency": round(real_audio_s / padded_audio_s, 4),
+        "wall_s": round(dt, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--latency-requests", type=int, default=50)
+    ap.add_argument("--buckets", default="256,512,1024,1408")
+    ap.add_argument("--out-dir", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts"))
+    args = ap.parse_args()
+
+    from vispeech_tpu.config import Config
+
+    cfg = Config()
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:  # CPU smoke: shrink everything
+        args.requests, args.batch, args.latency_requests = 8, 2, 3
+        args.buckets = "64"
+
+    latency = bench_latency(
+        cfg, [int(x) for x in args.buckets.split(",")], args.latency_requests)
+    dist = bench_distribution(cfg, args.requests, args.batch)
+    print(json.dumps(dist), flush=True)
+
+    out = {"metric": "serving_latency_and_distribution",
+           "backend": jax.default_backend(),
+           "latency_b1": latency, "distribution": dist}
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = os.path.join(args.out_dir, "serving_latency.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,11 @@ def main():
         help="differentiable fused WN stack (Pallas custom VJP) in the "
              "posterior encoder + flows — A/B against the default XLA path",
     )
+    ap.add_argument(
+        "--fp32", dest="bf16", action="store_false", default=True,
+        help="disable the full-graph bf16 policy (train.fp16_run) — A/B "
+             "against the default mixed-precision step",
+    )
     args = ap.parse_args()
 
     import dataclasses
@@ -69,10 +74,11 @@ def main():
     from vispeech_tpu.train.step import create_train_state, make_train_step
 
     cfg = Config()
-    if args.fused_wn:
-        cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, fused_wn=True)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, fused_wn=args.fused_wn, fp16_run=args.bf16
         )
+    )
     on_tpu = jax.default_backend() == "tpu"
     B = args.batch or (cfg.train.batch_size if on_tpu else 2)
     T = args.frames or (1024 if on_tpu else 32)
@@ -117,7 +123,7 @@ def main():
         "steps_per_s": round(steps_per_s, 3),
         "audio_seconds_trained_per_s": round(steps_per_s * utt_seconds, 1),
         "batch": B, "frames": T, "backend": jax.default_backend(),
-        "fused_wn": args.fused_wn,
+        "fused_wn": args.fused_wn, "bf16": args.bf16,
     }
     print(json.dumps(out) if args.json else out)
 

@@ -243,7 +243,9 @@ class TestFoldedMRFPallasKernel:
         from vispeech_tpu.ops.pallas.mrf_stage import mrf_stack_folded
 
         r = np.random.RandomState(0)
-        B, T, C, fold = 2, 512, 16, 4
+        # T=1024, fold=4 → Tf=256 with tile=128 gives nt=2, so the
+        # left/right neighbor-block halo path is genuinely exercised
+        B, T, C, fold = 2, 1024, 16, 4
         ks, dils = (3, 7, 11), ((1, 3, 5),) * 3
         x = jnp.asarray(r.randn(B, T, C).astype(np.float32))
         packed = tuple(

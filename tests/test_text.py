@@ -544,8 +544,9 @@ d D IY1
 
 
 class TestPolyphone:
-    """The reference's pypinyin polyphone tweak: 地 prefers the neutral
-    de reading (reference zh_frontend.py:85-86).  Gated on pypinyin."""
+    """The reference's polyphone tweak: 地 prefers the neutral de reading
+    (reference zh_frontend.py:85-86).  Pinned on BOTH G2P paths — the
+    pypinyin cascade (gated) and the always-available lexicon fallback."""
 
     def test_de_reading(self):
         pytest.importorskip("pypinyin")
@@ -554,6 +555,59 @@ class TestPolyphone:
         _init_pypinyin()
         initials, finals = word_to_initials_finals("地")
         assert finals == ["e5"], (initials, finals)
+
+    def test_de_reading_lexicon_fallback(self):
+        """Single-char 地 → neutral de even without pypinyin; multi-char
+        lexicon words containing 地 keep their lexical reading."""
+        from vispeech_tpu.text import frontends
+
+        saved = dict(frontends._ZH_LEXICON)
+        saved_max = frontends._ZH_LEX_MAXLEN
+        frontends._ZH_LEXICON.clear()
+        frontends._ZH_LEXICON.update({"地": ["di4"], "地方": ["di4", "fang1"]})
+        frontends._ZH_LEX_MAXLEN = 2
+        try:
+            assert frontends._lexicon_zh_g2p("地") == ["d", "e5"]
+            # lexical di4 reading survives; 地方 is a must-neural-tone word so
+            # sandhi neutralizes the second syllable (ang1 → ang5)
+            assert frontends._lexicon_zh_g2p("地方") == ["d", "i4", "f", "ang5"]
+        finally:
+            frontends._ZH_LEXICON.clear()
+            frontends._ZH_LEXICON.update(saved)
+            frontends._ZH_LEX_MAXLEN = saved_max
+
+
+REFERENCE_JA_DICT = "/root/reference/mfa_temp/ja_dict.dict"
+
+
+class TestJaLexicon:
+    """MFA Japanese dictionary generation (reference mfa_temp/ja_dict.dict)."""
+
+    def test_identity_and_suffix_swap(self):
+        from vispeech_tpu.text.lexicon import MFA_SPECIALS, generate_ja_lexicon
+        from vispeech_tpu.text.symbols import ja_symbols
+
+        lex = generate_ja_lexicon()
+        assert all(k == v for k, v in lex.items())
+        assert "." not in "".join(k for k in lex if k not in MFA_SPECIALS)
+        assert len(lex) == len(MFA_SPECIALS) + len(ja_symbols)
+        assert "tsJA" in lex and "pau" in lex and "br" in lex
+
+    @pytest.mark.skipif(
+        not os.path.exists(REFERENCE_JA_DICT), reason="reference repo not mounted"
+    )
+    def test_full_parity_with_reference(self):
+        """Entry-set parity with the reference's shipped ja_dict.dict."""
+        from vispeech_tpu.text.lexicon import generate_ja_lexicon
+
+        ref = {}
+        with open(REFERENCE_JA_DICT, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    k, v = line.split("\t")
+                    ref[k] = v
+        assert dict(generate_ja_lexicon()) == ref
 
 
 class TestTraditionalToSimplified:

@@ -196,7 +196,9 @@ class MultiHeadAttention(nn.Module):
                 band = (jnp.abs(t[None, :] - t[:, None]) <= self.block_length)
                 scores = jnp.where(band[None, None], scores, -1e4)
 
-        p_attn = jax.nn.softmax(scores, axis=-1)
+        # f32-internal softmax: under the bf16 training policy the exp/sum
+        # must not accumulate in bf16 (torch autocast fp32-lists softmax too)
+        p_attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
         p_attn = nn.Dropout(self.p_dropout)(p_attn, deterministic=deterministic)
         out = jnp.einsum(
             "bhts,bhsd->bhtd", p_attn, vh, precision=get_matmul_precision()

@@ -99,9 +99,14 @@ class Conv1d(nn.Module):
 
 
 def _weight_norm(v: Array, g: Array) -> Array:
-    """w = g · v/‖v‖ with the norm over (k, cin) per output channel."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True) + 1e-12)
-    return v * (g[None, None, :] / norm)
+    """w = g · v/‖v‖ with the norm over (k, cin) per output channel.
+
+    The norm accumulates in float32 even under the bf16 training policy
+    (torch autocast equally computes weight_norm on fp32 master weights)."""
+    vf = v.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(vf), axis=(0, 1), keepdims=True) + 1e-12)
+    w = vf * (g.astype(jnp.float32)[None, None, :] / norm)
+    return w.astype(v.dtype)
 
 
 class WNConv1d(nn.Module):

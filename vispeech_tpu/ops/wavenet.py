@@ -74,6 +74,9 @@ class WN(nn.Module):
             self.trainable_fused
             and self.dilation_rate == 1
             and self.p_dropout == 0.0
+            # the trainable kernel's hand-written VJP is validated in f32;
+            # under the bf16 policy fall back to the XLA loop (still bf16)
+            and x.dtype == jnp.float32
         ):
             return self._fused(x, x_mask, g, trainable=True)
         if g is not None:

@@ -67,7 +67,7 @@ def shard_batch(batch, mesh: Mesh):
     def put(x):
         spec = P("data", *([None] * (np.ndim(x) - 1)))
         sharding = NamedSharding(mesh, spec)
-        if multihost:  # pragma: no cover - requires real multi-host
+        if multihost:  # executed under 2 CPU processes in tests/test_multihost.py
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 

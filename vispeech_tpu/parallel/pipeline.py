@@ -80,6 +80,11 @@ def make_synthesizer_pipeline(
 
     def sched(variables, phonemes, lengths, sid, eps):
         B, N = phonemes.shape
+        if B % M != 0:
+            raise ValueError(
+                f"batch size {B} must divide into microbatches={M} equal "
+                f"chunks (got remainder {B % M})"
+            )
         B_mb = B // M
         s = jax.lax.axis_index(axis_name)
 

@@ -96,6 +96,14 @@ def load_zh_lexicon(path: str) -> None:
                 _ZH_LEX_MAXLEN = max(_ZH_LEX_MAXLEN, len(parts[0]))
 
 
+# Single-character polyphone overrides, mirroring the reference's pypinyin
+# reading-order tweak (reference text/frontend/zh_frontend.py:86
+# load_single_dict({'地': 'de,di4'}) — prefer the neutral particle reading).
+# Applied only to characters that fall through to single-char lookup; words
+# covered by multi-character lexicon entries keep their lexical reading.
+_POLYPHONE_SINGLE = {"地": "de5"}
+
+
 def _lexicon_zh_g2p(text: str) -> List[str]:
     """Greedy longest-match lexicon G2P with tone sandhi (pypinyin-free)."""
     from vispeech_tpu.text.sandhi import ToneSandhi
@@ -106,6 +114,10 @@ def _lexicon_zh_g2p(text: str) -> List[str]:
     while i < len(text):
         for L in range(min(_ZH_LEX_MAXLEN, len(text) - i), 0, -1):
             w = text[i:i + L]
+            if L == 1 and w in _POLYPHONE_SINGLE:
+                words.append((w, [_POLYPHONE_SINGLE[w]]))
+                i += 1
+                break
             if w in _ZH_LEXICON:
                 words.append((w, _ZH_LEXICON[w]))
                 i += L

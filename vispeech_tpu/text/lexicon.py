@@ -114,3 +114,25 @@ def generate_lexicon(
                     if s:
                         syllables[s] = f"{C} {V}{R}{T}".strip()
     return syllables
+
+
+# Tokens MFA dictionaries carry besides language phones: padding, silence
+# variants, and the punctuation the alignment transcripts keep (reference
+# mfa_temp/{zh,ja}_dict.dict header rows).
+MFA_SPECIALS = ["_", "sp", "sil", "spn", "!", "?", "…", ",", ".", "-", "#"]
+
+
+def generate_ja_lexicon() -> Dict[str, str]:
+    """MFA Japanese dictionary (reference mfa_temp/ja_dict.dict contract).
+
+    Japanese is aligned phones-as-words: every JA phone maps to itself, with
+    the ``.`` suffix swapped for the literal ``JA`` token (MFA's dict format
+    cannot hold a bare ``.`` inside a symbol — tools/prepare_mfa.py applies
+    the same swap to the transcripts it emits)."""
+    from vispeech_tpu.text.symbols import ja_symbols
+
+    lex: "OrderedDict[str, str]" = OrderedDict((s, s) for s in MFA_SPECIALS)
+    for ph in ja_symbols:
+        tok = ph.replace(".", "JA")
+        lex[tok] = tok
+    return lex

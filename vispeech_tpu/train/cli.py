@@ -47,7 +47,9 @@ def main():
 
     profile_steps = None
     if args.profile:
-        lo, _, hi = args.profile.partition(":")
+        lo, sep, hi = args.profile.partition(":")
+        if not sep or not lo.isdigit() or not hi.isdigit():
+            p.error("--profile expects START:STOP (two integers)")
         profile_steps = (int(lo), int(hi))
 
     trainer = Trainer(cfg, data_root=args.data_root,

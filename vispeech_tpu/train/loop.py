@@ -176,6 +176,8 @@ class Trainer:
         """`profile_steps=(lo, hi)` captures an XLA/TPU trace of steps
         [lo, hi) into save_dir/profile (utils/profiling.py; process 0)."""
         cfg = self.cfg
+        # a Trainer reused after a preemption stop must not exit immediately
+        self._stop_requested = False
         start_step = self.global_step
         start_epoch = start_step // self.steps_per_epoch
         self.logger.info("starting at step %d (epoch %d)", start_step, start_epoch)

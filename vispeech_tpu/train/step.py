@@ -9,10 +9,17 @@ retained-graph arrangement (torch runs one net_g forward and reuses the
 stored graph for the G backward), reclaiming the ~1/3 of step FLOPs a second
 traced forward would cost.
 
-bf16 policy: when enabled, batch activations are cast to bfloat16 for the
-heavy compute while losses stay float32 (the reference's fp16 autocast +
-fp32-loss arrangement, train.py:168-218); there is no GradScaler — bf16 has
-fp32 range.
+bf16 policy (``train.fp16_run``): the FULL generator and discriminator
+forwards run in bfloat16 — params and float batch inputs are cast to bf16
+inside the differentiated function, mirroring the scope of the reference's
+fp16 autocast around the whole G+D step (train.py:124,168,207) — while every
+loss is computed in float32 (the reference keeps loss math out of autocast,
+train.py:197,209) and the mel of the generated slice is taken from an f32
+waveform.  Master params, optimizer state and gradients stay f32: the vjp of
+the param cast converts the bf16 cotangents back.  There is no GradScaler —
+bf16 has fp32 range.  LayerNorm statistics, softmax, and weight-norm ‖v‖
+accumulate in f32 internally (ops/layers.py, ops/attention.py), matching
+torch autocast's fp32-list.
 """
 
 from __future__ import annotations
@@ -47,6 +54,15 @@ class Batch(NamedTuple):
     wav: Array              # [B, T*hop, 1]
     wav_lengths: Array      # [B]
     sid: Array              # [B]
+
+
+def _cast_floats(tree, dtype):
+    """Cast every floating-point leaf of a pytree to `dtype`."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
 
 
 class TrainState(struct.PyTreeNode):
@@ -177,12 +193,25 @@ def make_train_step(
         # -------- ONE generator forward, vjp-tracked --------------------
         # diff: float outputs the G loss differentiates through;
         # aux: indices/masks/predictions that carry no gradient.
+        # Under the bf16 policy the cast into (params/inputs) and out of
+        # (diff outputs) bfloat16 happens INSIDE the differentiated function,
+        # so g_vjp takes f32 cotangents and returns f32 param grads.
         def g_forward_split(gparams):
+            fwd_batch = batch
+            if compute_dtype != jnp.float32:
+                gparams = _cast_floats(gparams, compute_dtype)
+                fwd_batch = batch._replace(
+                    f0=batch.f0.astype(compute_dtype),
+                    energy=batch.energy.astype(compute_dtype),
+                    spec=batch.spec.astype(compute_dtype),
+                )
             (y_hat, l_length, l_pitch, l_energy, ids_slice, x_mask, y_mask,
              latents, pred_f0, pred_ne, ne) = g_forward(
-                {"params": gparams}, batch, rngs
+                {"params": gparams}, fwd_batch, rngs
             )
-            diff = (y_hat, l_length, l_pitch, l_energy, latents)
+            diff = _cast_floats(
+                (y_hat, l_length, l_pitch, l_energy, latents), jnp.float32
+            )
             aux = (ids_slice, y_mask)
             return diff, aux
 
@@ -196,6 +225,10 @@ def make_train_step(
         )
 
         def d_loss_fn(dparams):
+            # bf16 compute needs bf16 params too (f32 kernels would promote
+            # the convs back to f32); the cast's vjp restores f32 grads
+            if compute_dtype != jnp.float32:
+                dparams = _cast_floats(dparams, compute_dtype)
             logits_r, logits_g, _, _ = model_d.apply(
                 {"params": dparams}, wav_slice.astype(compute_dtype),
                 y_hat.astype(compute_dtype),
@@ -226,8 +259,13 @@ def make_train_step(
             y_mel = slice_segments(mel, ids_slice, seg_frames)
             y_hat_mel = mel_of_wav(y_hat.astype(jnp.float32))
 
+            d_apply_params = new_params_d
+            if compute_dtype != jnp.float32:
+                d_apply_params = {
+                    "params": _cast_floats(new_params_d["params"], compute_dtype)
+                }
             _, logits_g, fmap_r, fmap_g = model_d.apply(
-                new_params_d, wav_slice.astype(compute_dtype),
+                d_apply_params, wav_slice.astype(compute_dtype),
                 y_hat.astype(compute_dtype),
             )
             loss_dur = l_length.astype(jnp.float32)
