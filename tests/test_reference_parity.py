@@ -18,6 +18,7 @@ convs + transposed-conv upsampling + MRF).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
