@@ -31,13 +31,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
-def flagship_config(root: str, fp16: bool, batch_size: int, lr: float):
+def flagship_config(root: str, fp16: bool, batch_size: int, lr: float,
+                    bf16_scope: str = "stable", fused_attn: bool = True):
     from vispeech_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
     return Config(
         train=TrainConfig(
             seed=0, batch_size=batch_size, fp16_run=fp16, segment_size=16384,
-            learning_rate=lr,
+            learning_rate=lr, bf16_scope=bf16_scope, fused_attn=fused_attn,
         ),
         data=DataConfig(
             training_files=os.path.join(root, "train.list"),
@@ -54,7 +55,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--bf16", action="store_true",
-                   help="run the full-graph bf16 policy (train.fp16_run)")
+                   help="run the bf16 policy (train.fp16_run, 'stable' scope: "
+                        "decoder + discriminators stay f32)")
+    p.add_argument("--bf16-full", action="store_true",
+                   help="everything-bf16 scope (known to destabilize the GAN; "
+                        "kept for A/B — see config.TrainConfig.bf16_scope)")
+    p.add_argument("--no-fused-attn", dest="fused_attn", action="store_false",
+                   default=True,
+                   help="XLA training attention (A/B vs the fused kernel)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--utts", type=int, default=8)
@@ -74,14 +82,20 @@ def main():
     from vispeech_tpu.text.symbols import N_SYMBOLS
     from vispeech_tpu.train.step import Batch, create_train_state, make_train_step
 
-    tag = "bf16" if args.bf16 else "fp32"
+    if args.bf16_full:
+        args.bf16 = True
+    tag = ("bf16_full" if args.bf16_full else "bf16") if args.bf16 else "fp32"
+    if not args.fused_attn:
+        tag += "_xla_attn"
     os.makedirs(args.out_dir, exist_ok=True)
     root = args.workspace
     write_synthetic_dataset(
         root, sr=44100, hop=512, n_utts=args.utts, n_phones=args.phones,
         dur_range=(4, 10), seed=0,
     )
-    cfg = flagship_config(root, args.bf16, args.batch, args.lr)
+    cfg = flagship_config(root, args.bf16, args.batch, args.lr,
+                          bf16_scope="full" if args.bf16_full else "stable",
+                          fused_attn=args.fused_attn)
     d = cfg.data
 
     ds = FilelistDataset(cfg.data.training_files, cfg.data,

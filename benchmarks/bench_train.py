@@ -62,8 +62,18 @@ def main():
     )
     ap.add_argument(
         "--fp32", dest="bf16", action="store_false", default=True,
-        help="disable the full-graph bf16 policy (train.fp16_run) — A/B "
-             "against the default mixed-precision step",
+        help="disable the bf16 policy (train.fp16_run) — A/B against the "
+             "default mixed-precision step",
+    )
+    ap.add_argument(
+        "--bf16-full", action="store_true",
+        help="everything-bf16 scope (A/B; default 'stable' keeps dec+D f32)",
+    )
+    ap.add_argument(
+        "--no-fused-attn", dest="fused_attn", action="store_false",
+        default=True,
+        help="XLA attention in training (A/B against the fused custom-VJP "
+             "attention kernel)",
     )
     args = ap.parse_args()
 
@@ -76,7 +86,9 @@ def main():
     cfg = Config()
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
-            cfg.train, fused_wn=args.fused_wn, fp16_run=args.bf16
+            cfg.train, fused_wn=args.fused_wn, fp16_run=args.bf16,
+            bf16_scope="full" if args.bf16_full else "stable",
+            fused_attn=args.fused_attn,
         )
     )
     on_tpu = jax.default_backend() == "tpu"
@@ -124,6 +136,7 @@ def main():
         "audio_seconds_trained_per_s": round(steps_per_s * utt_seconds, 1),
         "batch": B, "frames": T, "backend": jax.default_backend(),
         "fused_wn": args.fused_wn, "bf16": args.bf16,
+        "bf16_scope": cfg.train.bf16_scope, "fused_attn": args.fused_attn,
     }
     print(json.dumps(out) if args.json else out)
 

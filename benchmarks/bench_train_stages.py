@@ -137,6 +137,10 @@ def main():
     tag = "bf16" if args.bf16 else "fp32"
 
     batch = make_batch(cfg, B, N, T)
+    # stage applies run in TRAINING mode (deterministic=False: XLA attention
+    # path + live dropout, what the real step differentiates)
+    _RNGS = {"sample": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}
     state, mg, md = create_train_state(
         cfg, jax.random.PRNGKey(0), n_vocab=N_SYMBOLS, batch=batch)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -151,16 +155,16 @@ def main():
     def capture(params, b):
         def inner(m):
             g = m._speaker(b.sid)
-            x, x_mask = m.enc_p(b.phonemes, b.phoneme_lengths, deterministic=True)
+            x, x_mask = m.enc_p(b.phonemes, b.phoneme_lengths, deterministic=False)
             lf0 = f0_to_lf0(b.f0)
             x = x + m.pitch_prenet(lf0[..., None])
             ne = normalize_energy(b.energy)
             x = x + m.energy_prenet(ne[..., None])
             z, m_q, logs_q, y_mask = m.enc_q(b.spec, b.spec_lengths, g=g,
-                                             deterministic=True)
-            z_p = m.flow(z, y_mask, g=g, deterministic=True)
+                                             deterministic=False)
+            z_p = m.flow(z, y_mask, g=g, deterministic=False)
             return dict(g=g, x=x, x_mask=x_mask, z=z, y_mask=y_mask, z_p=z_p)
-        return mg.apply(params, method=inner)
+        return mg.apply(params, method=inner, rngs=_RNGS)
 
     cap = capture(params_g, fwd_batch)
     z_slice = cap["z"][:, :seg_frames]
@@ -179,16 +183,16 @@ def main():
 
         def inner(m):
             g = m._speaker(b.sid)
-            x, x_mask = m.enc_p(b.phonemes, b.phoneme_lengths, deterministic=True)
-            logw = m.duration_predictor(x, x_mask, g=g, deterministic=True)
+            x, x_mask = m.enc_p(b.phonemes, b.phoneme_lengths, deterministic=False)
+            logw = m.duration_predictor(x, x_mask, g=g, deterministic=False)
             lf0 = f0_to_lf0(b.f0)
-            pred_lf0 = m.pitch_predictor(x, x_mask, g=g, deterministic=True)
+            pred_lf0 = m.pitch_predictor(x, x_mask, g=g, deterministic=False)
             x = x + m.pitch_prenet(lf0[..., None])
             ne = normalize_energy(b.energy)
-            pred_ne = m.energy_predictor(x, g=g, deterministic=True)
+            pred_ne = m.energy_predictor(x, g=g, deterministic=False)
             x = x + m.energy_prenet(ne[..., None])
             return x, logw, pred_lf0, pred_ne
-        return mg.apply(params, method=inner)
+        return mg.apply(params, method=inner, rngs=_RNGS)
 
     def stage_lr_fpn(params, inputs):
         x, duration = inputs
@@ -196,21 +200,23 @@ def main():
         def inner(m):
             xf, fl = length_regulate(x, duration, T)
             fm = length_mask(fl, T, x.dtype)
-            xf = m.frame_prior_net(xf, fm, deterministic=True)
+            xf = m.frame_prior_net(xf, fm, deterministic=False)
             return m.project(xf, fm)
-        return mg.apply(params, method=inner)
+        return mg.apply(params, method=inner, rngs=_RNGS)
 
     def stage_encq(params, inputs):
         spec, lens = inputs
         return mg.apply(
             params, spec, lens,
-            method=lambda m, s, sl: m.enc_q(s, sl, g=cap["g"], deterministic=True))
+            method=lambda m, s, sl: m.enc_q(s, sl, g=cap["g"], deterministic=False),
+            rngs=_RNGS)
 
     def stage_flow(params, inputs):
         z, y_mask = inputs
         return mg.apply(
             params, z, y_mask,
-            method=lambda m, a, ym: m.flow(a, ym, g=cap["g"], deterministic=True))
+            method=lambda m, a, ym: m.flow(a, ym, g=cap["g"], deterministic=False),
+            rngs=_RNGS)
 
     def stage_dec(params, inputs):
         (zs,) = inputs

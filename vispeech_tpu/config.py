@@ -39,6 +39,14 @@ class TrainConfig:
     eps: float = 1e-9
     batch_size: int = 12
     fp16_run: bool = True  # on TPU this selects bf16 compute with fp32 losses
+    # bf16 scope under fp16_run.  "stable" (default): bf16 for the FLOP-heavy
+    # generator stages (text/posterior encoders, frame prior net, flows,
+    # prosody heads) while the HiFi-GAN decoder and the discriminators stay
+    # f32 — measured on TPU (benchmarks/artifacts/convergence_*.json): the
+    # everything-bf16 policy destabilizes the adversarial game (decoder tanh
+    # rails within ~120 steps and D wins permanently) while "stable" tracks
+    # the fp32 loss trajectory.  "full": everything bf16, kept for A/B.
+    bf16_scope: str = "stable"
     lr_decay: float = 0.999875
     segment_size: int = 16384
     init_lr_ratio: float = 1.0
@@ -49,6 +57,10 @@ class TrainConfig:
     # differentiable fused WN stack (Pallas custom VJP) in the posterior
     # encoder + flow couplings during training (ops/pallas/wn_stack_train.py)
     fused_wn: bool = False
+    # trainable fused rel-pos attention (Pallas custom VJP + in-kernel
+    # dropout) in the phoneme/frame encoders during training
+    # (ops/pallas/flash_attention_train.py) — the measured top train stage
+    fused_attn: bool = True
 
 
 @dataclass(frozen=True)

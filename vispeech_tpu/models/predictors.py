@@ -190,6 +190,7 @@ class PitchPredictor(nn.Module):
     gin_channels: int = 0
     n_layers: int = 6  # hardcoded in the reference (models.py:498)
     use_pallas: Optional[bool] = None  # attention kernel policy (ops/policy.py)
+    use_pallas_train: bool = False     # trainable fused attention (custom VJP)
 
     @nn.compact
     def __call__(
@@ -211,6 +212,7 @@ class PitchPredictor(nn.Module):
             self.kernel_size,
             self.p_dropout,
             use_pallas=self.use_pallas,
+            use_pallas_train=self.use_pallas_train,
             name="pitch_net",
         )(x * x_mask, x_mask, deterministic=deterministic)
         x = x * x_mask

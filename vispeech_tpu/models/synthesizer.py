@@ -78,6 +78,7 @@ class TextEncoder(nn.Module):
     kernel_size: int
     p_dropout: float
     use_pallas: Optional[bool] = None  # attention kernel policy (ops/policy.py)
+    use_pallas_train: bool = False     # trainable fused attention (custom VJP)
 
     @nn.compact
     def __call__(self, phonemes: Array, lengths: Array, deterministic: bool = True):
@@ -97,6 +98,7 @@ class TextEncoder(nn.Module):
             self.kernel_size,
             self.p_dropout,
             use_pallas=self.use_pallas,
+            use_pallas_train=self.use_pallas_train,
             name="encoder",
         )(x * x_mask, x_mask, deterministic=deterministic)
         return x, x_mask
@@ -190,6 +192,7 @@ class FramePriorNet(nn.Module):
     kernel_size: int
     p_dropout: float
     use_pallas: Optional[bool] = None  # attention kernel policy (ops/policy.py)
+    use_pallas_train: bool = False     # trainable fused attention (custom VJP)
 
     @nn.compact
     def __call__(self, x_frame, x_mask, deterministic: bool = True):
@@ -201,6 +204,7 @@ class FramePriorNet(nn.Module):
             self.kernel_size,
             self.p_dropout,
             use_pallas=self.use_pallas,
+            use_pallas_train=self.use_pallas_train,
             name="fft_block",
         )(x_frame * x_mask, x_mask, deterministic=deterministic)
 
@@ -247,6 +251,9 @@ class Synthesizer(nn.Module):
     # Training policy: differentiable fused WN stack (custom VJP) in the
     # posterior encoder + flow couplings (cfg.train.fused_wn)
     train_fused_wn: bool = False
+    # Training policy: trainable fused attention (custom VJP + in-kernel
+    # dropout) in the phoneme/frame rel-pos encoders (cfg.train.fused_attn)
+    train_fused_attn: bool = False
 
     @classmethod
     def from_config(
@@ -285,6 +292,7 @@ class Synthesizer(nn.Module):
             gin_channels=m.gin_channels,
             use_sdp=m.use_sdp,
             train_fused_wn=cfg.train.fused_wn,
+            train_fused_attn=cfg.train.fused_attn,
         )
 
     @classmethod
@@ -299,6 +307,7 @@ class Synthesizer(nn.Module):
             self.n_vocab, self.hidden_channels, self.filter_channels,
             self.n_heads, self.n_layers, self.kernel_size, self.p_dropout,
             use_pallas=self.attn_pallas,
+            use_pallas_train=self.train_fused_attn,
         )
         self.dec = Generator(
             self.resblock, self.resblock_kernel_sizes, self.resblock_dilation_sizes,
@@ -326,11 +335,13 @@ class Synthesizer(nn.Module):
             self.hidden_channels, self.filter_channels, self.n_heads,
             self.n_layers, self.kernel_size, self.p_dropout,
             use_pallas=self.attn_pallas,
+            use_pallas_train=self.train_fused_attn,
         )
         self.pitch_predictor = PitchPredictor(
             self.hidden_channels, self.filter_channels, self.n_heads,
             self.kernel_size, self.p_dropout, gin_channels=self.gin_channels,
             use_pallas=self.attn_pallas,
+            use_pallas_train=self.train_fused_attn,
         )
         self.energy_predictor = EnergyPredictor(
             self.hidden_channels, gin_channels=self.gin_channels

@@ -93,6 +93,11 @@ class MultiHeadAttention(nn.Module):
     proximal_bias: bool = False
     block_length: Optional[int] = None
     use_pallas: Optional[bool] = None
+    # trainable fused kernel (custom VJP + in-kernel dropout) for the
+    # NON-deterministic path — the measured top training stage
+    # (benchmarks/artifacts/train_stages_bf16.json); off-TPU it falls back
+    # to XLA whenever dropout is live (the CPU interpreter has no PRNG)
+    use_pallas_train: bool = False
 
     @nn.compact
     def __call__(
@@ -149,6 +154,51 @@ class MultiHeadAttention(nn.Module):
             )
             out = relative_self_attention(
                 qh, kh, vh, rel_k, rel_v, key_mask,
+                window=self.window_size,
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, T_t, self.channels)
+            return Conv1d(
+                self.out_channels, 1, kernel_init=xavier_uniform_conv1x1,
+                name="conv_o",
+            )(out)
+
+        rate = 0.0 if deterministic else self.p_dropout
+        train_kernel_ok = (
+            self.use_pallas_train
+            and self.window_size is not None
+            and T_s == T_t
+            and not self.proximal_bias
+            and self.block_length is None
+            and not deterministic
+            and key_mask is not None
+            and (jax.default_backend() == "tpu" or rate == 0.0)
+        )
+        if train_kernel_ok:
+            from vispeech_tpu.ops.pallas.flash_attention_train import (
+                relative_self_attention_train,
+            )
+
+            n_rel = 1 if self.heads_share else self.n_heads
+            rel_k = self.param(
+                "emb_rel_k",
+                lambda key, shape: jax.random.normal(key, shape) * (d_k ** -0.5),
+                (n_rel, 2 * self.window_size + 1, d_k),
+            )
+            rel_v = self.param(
+                "emb_rel_v",
+                lambda key, shape: jax.random.normal(key, shape) * (d_k ** -0.5),
+                (n_rel, 2 * self.window_size + 1, d_k),
+            )
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2 ** 31 - 1
+                ).astype(jnp.float32)
+            else:
+                seed = jnp.float32(0)
+            out = relative_self_attention_train(
+                qh, kh, vh, rel_k, rel_v,
+                key_mask.astype(jnp.float32), seed, rate,
                 window=self.window_size,
                 interpret=jax.default_backend() != "tpu",
             )
@@ -359,6 +409,7 @@ class Encoder(nn.Module):
     p_dropout: float = 0.0
     window_size: int = 4
     use_pallas: Optional[bool] = None
+    use_pallas_train: bool = False
 
     @nn.compact
     def __call__(self, x: Array, x_mask: Array, deterministic: bool = True) -> Array:
@@ -374,6 +425,7 @@ class Encoder(nn.Module):
                 p_dropout=self.p_dropout,
                 window_size=self.window_size,
                 use_pallas=self.use_pallas,
+                use_pallas_train=self.use_pallas_train,
                 name=f"attn_{i}",
             )(x, x, attn_mask, deterministic=deterministic, key_mask=m)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)

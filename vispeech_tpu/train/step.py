@@ -9,17 +9,28 @@ retained-graph arrangement (torch runs one net_g forward and reuses the
 stored graph for the G backward), reclaiming the ~1/3 of step FLOPs a second
 traced forward would cost.
 
-bf16 policy (``train.fp16_run``): the FULL generator and discriminator
-forwards run in bfloat16 — params and float batch inputs are cast to bf16
-inside the differentiated function, mirroring the scope of the reference's
-fp16 autocast around the whole G+D step (train.py:124,168,207) — while every
-loss is computed in float32 (the reference keeps loss math out of autocast,
-train.py:197,209) and the mel of the generated slice is taken from an f32
-waveform.  Master params, optimizer state and gradients stay f32: the vjp of
-the param cast converts the bf16 cotangents back.  There is no GradScaler —
-bf16 has fp32 range.  LayerNorm statistics, softmax, and weight-norm ‖v‖
-accumulate in f32 internally (ops/layers.py, ops/attention.py), matching
-torch autocast's fp32-list.
+bf16 policy (``train.fp16_run`` + ``train.bf16_scope``): params and float
+batch inputs are cast to bf16 inside the differentiated function — the
+reference autocasts its whole G+D step to fp16 (train.py:124,168,207) —
+while every loss is computed in float32 (the reference keeps loss math out
+of autocast, train.py:197,209) and the mel of the generated slice is taken
+from an f32 waveform.  Master params, optimizer state and gradients stay
+f32: the vjp of the param cast converts the bf16 cotangents back.  There is
+no GradScaler — bf16 has fp32 range.  LayerNorm statistics, softmax, and
+weight-norm ‖v‖ accumulate in f32 internally (ops/layers.py,
+ops/attention.py), matching torch autocast's fp32-list.
+
+Scope ``"stable"`` (default) keeps the HiFi-GAN decoder and the
+discriminators in f32 and casts only the encoder-side stages (text/posterior
+encoders, frame prior net, flows, prosody heads — where the per-frame FLOPs
+live).  Measured on TPU (benchmarks/artifacts/convergence_{fp32,bf16}.json):
+with everything in bf16 the adversarial equilibrium breaks — output
+amplitude ratchets up until the decoder's tanh rails (100% of samples at
+|y|>0.99 by step ~120), gradients through it die, and mel loss locks at
+~130 while D wins permanently; fp32 and the "stable" scope converge.  The
+f32 decoder params meet the bf16 latent z via JAX type promotion, so the
+decoder/discriminator convs genuinely run f32.  ``bf16_scope="full"`` keeps
+the everything-bf16 variant for A/B.
 """
 
 from __future__ import annotations
@@ -163,6 +174,10 @@ def make_train_step(
     d = cfg.data
     seg_frames = cfg.train.segment_size // d.hop_length
     compute_dtype = jnp.bfloat16 if cfg.train.fp16_run else jnp.float32
+    # "stable": decoder + discriminators stay f32 (see module docstring)
+    full_scope = cfg.train.bf16_scope == "full"
+    g_keep_f32 = () if full_scope else ("dec",)
+    d_dtype = compute_dtype if full_scope else jnp.float32
 
     def g_forward(params_g, batch: Batch, rngs):
         return model_g.apply(
@@ -199,7 +214,10 @@ def make_train_step(
         def g_forward_split(gparams):
             fwd_batch = batch
             if compute_dtype != jnp.float32:
-                gparams = _cast_floats(gparams, compute_dtype)
+                gparams = {
+                    k: (v if k in g_keep_f32 else _cast_floats(v, compute_dtype))
+                    for k, v in gparams.items()
+                }
                 fwd_batch = batch._replace(
                     f0=batch.f0.astype(compute_dtype),
                     energy=batch.energy.astype(compute_dtype),
@@ -227,11 +245,11 @@ def make_train_step(
         def d_loss_fn(dparams):
             # bf16 compute needs bf16 params too (f32 kernels would promote
             # the convs back to f32); the cast's vjp restores f32 grads
-            if compute_dtype != jnp.float32:
-                dparams = _cast_floats(dparams, compute_dtype)
+            if d_dtype != jnp.float32:
+                dparams = _cast_floats(dparams, d_dtype)
             logits_r, logits_g, _, _ = model_d.apply(
-                {"params": dparams}, wav_slice.astype(compute_dtype),
-                y_hat.astype(compute_dtype),
+                {"params": dparams}, wav_slice.astype(d_dtype),
+                y_hat.astype(d_dtype),
             )
             loss_disc, r_losses, g_losses = L.discriminator_loss(logits_r, logits_g)
             return loss_disc, (r_losses, g_losses)
@@ -260,13 +278,13 @@ def make_train_step(
             y_hat_mel = mel_of_wav(y_hat.astype(jnp.float32))
 
             d_apply_params = new_params_d
-            if compute_dtype != jnp.float32:
+            if d_dtype != jnp.float32:
                 d_apply_params = {
-                    "params": _cast_floats(new_params_d["params"], compute_dtype)
+                    "params": _cast_floats(new_params_d["params"], d_dtype)
                 }
             _, logits_g, fmap_r, fmap_g = model_d.apply(
-                d_apply_params, wav_slice.astype(compute_dtype),
-                y_hat.astype(compute_dtype),
+                d_apply_params, wav_slice.astype(d_dtype),
+                y_hat.astype(d_dtype),
             )
             loss_dur = l_length.astype(jnp.float32)
             loss_pitch = l_pitch.astype(jnp.float32)
