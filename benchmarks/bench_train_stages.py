@@ -105,6 +105,10 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fp32", dest="bf16", action="store_false", default=True)
+    ap.add_argument("--skip-full-step", action="store_true",
+                    help="skip the full-step cross-check (its compile alone "
+                         "is multi-minute; the stage numbers stand on their "
+                         "own)")
     ap.add_argument("--out-dir", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts"))
     args = ap.parse_args()
@@ -253,6 +257,8 @@ def main():
         print(f"{name:>12}: {row}", flush=True)
 
     # ---- full step cross-check --------------------------------------------
+    if args.skip_full_step:
+        results["full_step"] = None
     step_fn = make_train_step(cfg, mg, md)
 
     @jax.jit
@@ -262,10 +268,11 @@ def main():
         final = jax.lax.fori_loop(0, n, body, state)
         return step_fn(final, b)[1]["loss/g/total"]
 
-    dt = timed(lambda n: step_loop(state, batch, n), iters)
-    results["full_step"] = {"ms": round(dt * 1e3, 2),
-                            "steps_per_s": round(1.0 / dt, 3)}
-    print(f"   full_step: {results['full_step']}", flush=True)
+    if not args.skip_full_step:
+        dt = timed(lambda n: step_loop(state, batch, n), iters)
+        results["full_step"] = {"ms": round(dt * 1e3, 2),
+                                "steps_per_s": round(1.0 / dt, 3)}
+        print(f"   full_step: {results['full_step']}", flush=True)
 
     bwd_sum = sum(r.get("fwd_bwd_ms", r["fwd_ms"]) for k, r in results.items()
                   if k != "full_step")

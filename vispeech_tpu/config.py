@@ -38,14 +38,21 @@ class TrainConfig:
     betas: Tuple[float, float] = (0.8, 0.99)
     eps: float = 1e-9
     batch_size: int = 12
-    fp16_run: bool = True  # on TPU this selects bf16 compute with fp32 losses
-    # bf16 scope under fp16_run.  "stable" (default): bf16 for the FLOP-heavy
-    # generator stages (text/posterior encoders, frame prior net, flows,
-    # prosody heads) while the HiFi-GAN decoder and the discriminators stay
-    # f32 — measured on TPU (benchmarks/artifacts/convergence_*.json): the
-    # everything-bf16 policy destabilizes the adversarial game (decoder tanh
-    # rails within ~120 steps and D wins permanently) while "stable" tracks
-    # the fp32 loss trajectory.  "full": everything bf16, kept for A/B.
+    # Mixed precision.  The reference autocasts its whole step to fp16 with
+    # a GradScaler (train.py:124,168,207); on TPU the analogue is bf16 — but
+    # flagship-scale overfit runs on the real chip
+    # (benchmarks/artifacts/convergence_*.json) show bf16 anywhere in the
+    # XLA encoder graph destabilizes the GAN (output amplitude ratchets up
+    # until the decoder tanh rails and D wins permanently): everything-bf16
+    # collapses by step ~120, and the "stable" scope (decoder+D kept f32)
+    # collapses by ~1450, while f32 converges (mel halves, D healthy).
+    # Speed no longer needs bf16: the fused attention/WN kernels keep the
+    # [T,T]/gate traffic in VMEM with f32 math, so f32+fused is 7.48 steps/s
+    # vs 7.89 for the diverging bf16 (B=12×1024) — hence default False.
+    fp16_run: bool = False
+    # bf16 cast scope when fp16_run is enabled (A/B + research):
+    # "stable" = encoder-side only (decoder + discriminators stay f32);
+    # "full" = everything, the reference autocast scope.
     bf16_scope: str = "stable"
     lr_decay: float = 0.999875
     segment_size: int = 16384

@@ -20,17 +20,24 @@ no GradScaler — bf16 has fp32 range.  LayerNorm statistics, softmax, and
 weight-norm ‖v‖ accumulate in f32 internally (ops/layers.py,
 ops/attention.py), matching torch autocast's fp32-list.
 
-Scope ``"stable"`` (default) keeps the HiFi-GAN decoder and the
-discriminators in f32 and casts only the encoder-side stages (text/posterior
-encoders, frame prior net, flows, prosody heads — where the per-frame FLOPs
-live).  Measured on TPU (benchmarks/artifacts/convergence_{fp32,bf16}.json):
-with everything in bf16 the adversarial equilibrium breaks — output
-amplitude ratchets up until the decoder's tanh rails (100% of samples at
-|y|>0.99 by step ~120), gradients through it die, and mel loss locks at
-~130 while D wins permanently; fp32 and the "stable" scope converge.  The
-f32 decoder params meet the bf16 latent z via JAX type promotion, so the
-decoder/discriminator convs genuinely run f32.  ``bf16_scope="full"`` keeps
-the everything-bf16 variant for A/B.
+Scope ``"stable"`` keeps the HiFi-GAN decoder and the discriminators in f32
+and casts only the encoder-side stages; ``"full"`` casts everything (the
+reference autocast scope).  Measured on TPU at the flagship architecture
+(benchmarks/artifacts/convergence_*.json, 1500-step overfit):
+
+    fp32   + XLA attention    converges  (mel ×0.50, D healthy)
+    fp32   + fused attention  converges  (mel ×0.47, D healthy)
+    bf16 full  + XLA          collapses @ ~120  (tanh rails, D → 0)
+    bf16 stable + XLA         collapses
+    bf16 stable + fused       collapses @ ~1450
+
+bf16 anywhere in the XLA encoder graph eventually triggers the amplitude
+runaway; and with the fused attention/WN kernels doing their internal math
+in f32-in-VMEM, bf16 only buys 7.89 vs 7.48 steps/s (B=12×1024) — so
+``fp16_run`` defaults OFF and the speed comes from the kernels.  The bf16
+scopes remain selectable for A/B; the f32 decoder params meet bf16 inputs
+via JAX type promotion, so scoped casts compose without explicit casts in
+model code.
 """
 
 from __future__ import annotations
