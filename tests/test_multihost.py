@@ -21,12 +21,17 @@ import pytest
 pytestmark = pytest.mark.slow
 
 _WORKER = r"""
-import os, sys, time
+import os, re, sys, time
 pid = int(sys.argv[1]); port = sys.argv[2]; workdir = sys.argv[3]
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=2").strip()
+# FORCE 2 virtual devices per process — the parent pytest run exports
+# xla_force_host_platform_device_count=8 (tests/conftest.py), which the
+# worker would otherwise inherit (8 local x 2 processes = 16 != 4 global)
+_flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                os.environ.get("XLA_FLAGS", ""))
+WARM = pid < 0  # single-process cache-warm pass (4 local virtual devices)
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count="
+    + ("4" if WARM else "2")).strip()
 os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 sys.path.insert(0, "/root/repo")
@@ -36,9 +41,13 @@ jax.config.update("jax_platforms", "cpu")
 if not os.environ.get("VISPEECH_NO_JAX_CACHE"):
     jax.config.update("jax_compilation_cache_dir", "/tmp/vispeech_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
-assert jax.process_count() == 2, jax.process_count()
-assert jax.device_count() == 4 and jax.local_device_count() == 2
+if not WARM:
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4 and jax.local_device_count() == 2
+else:
+    assert jax.device_count() == 4
 
 import numpy as np
 import jax.numpy as jnp
@@ -69,9 +78,40 @@ cfg = Config(
 mesh = make_mesh()          # 4-device 'data' axis across BOTH processes
 assert mesh.shape["data"] == 4
 
+# Establish the gloo context with a TRIVIAL collective first: its compile is
+# sub-second, so both processes rendezvous well inside gloo's fixed 30 s
+# window even with Python-startup skew — and the heavy train-step compiles
+# that follow then start in lockstep on both processes (identical programs,
+# shared persistent cache), keeping execution skew at later collectives
+# far below the window.  Without this, the first collective fires after a
+# multi-minute compile whose cross-process skew exceeds 30 s and gloo
+# context initialization itself times out.
+from jax.sharding import NamedSharding as _NS
+import numpy as _np
+_tiny = jax.make_array_from_process_local_data(
+    _NS(mesh, P("data")), _np.ones((2 if not WARM else 4,), _np.float32))
+with mesh:
+    _total = jax.jit(lambda v: jnp.sum(v), out_shardings=replicated(mesh))(_tiny)
+assert float(_total) == 4.0, _total
+if not WARM:
+    print(f"[{pid}] gloo context up", flush=True)
+
+# Coordination-service barrier (NOT gloo: the distributed KV service has a
+# configurable long timeout).  Called before every collective-bearing
+# program: both processes then START each multi-minute compile at the same
+# instant, so the skew a gloo collective sees is only the DIFFERENCE in
+# compile durations (seconds for identical programs), never the absolute
+# compile time — gloo's fixed 30 s rendezvous window holds.
+from jax._src import distributed as _dist
+
+def barrier(name):
+    if not WARM:
+        _dist.global_state.client.wait_at_barrier(name, timeout_in_ms=600_000)
+
 # process-local batch half (B_local=2 -> B_global=4), deterministic per rank
-r = np.random.RandomState(100 + pid)
-B_local, N, T = 2, 8, 8
+# (the warm pass holds all 4 rows locally and compiles the same programs)
+r = np.random.RandomState(100 + max(pid, 0))
+B_local, N, T = (4 if WARM else 2), 8, 8
 dur = np.full((B_local, N), T // N, np.int32)
 local = dict(
     phonemes=r.randint(1, 40, (B_local, N)).astype(np.int32),
@@ -85,6 +125,7 @@ local = dict(
     wav_lengths=np.full((B_local,), T * HOP, np.int32),
     sid=(r.randint(0, 2, (B_local,))).astype(np.int32),
 )
+barrier("pre_total")
 with mesh:
     batch = Batch(**shard_batch(local, mesh))   # multihost branch
     # the global batch really spans both processes' data
@@ -97,8 +138,14 @@ with mesh:
     init_local = Batch(**{k: jnp.asarray(v) for k, v in local.items()})
     state, mg, md = create_train_state(
         cfg, jax.random.PRNGKey(0), n_vocab=40, batch=init_local)
-    state = jax.device_put(state, replicated(mesh))
+    # replicate via a jitted identity: jax.device_put to a replicated
+    # multi-process sharding runs a cross-host assert_equal allgather
+    # (another gloo rendezvous) that the barrier pattern cannot precede
+    barrier("pre_replicate")
+    state = jax.jit(lambda s: s, out_shardings=replicated(mesh))(
+        jax.device_get(state))
     step_fn = jax.jit(make_train_step(cfg, mg, md), donate_argnums=0)
+    barrier("pre_step")
     for _ in range(2):
         state, metrics = step_fn(state, batch)
     metrics = jax.device_get(metrics)
@@ -108,22 +155,24 @@ with mesh:
           flush=True)
 
     # collective host-gather save (process 0 writes)
+    barrier("pre_save")
     save_checkpoint(workdir, state, step=2)
 
-# wait for the file (written by process 0 only)
-for _ in range(120):
+# wait for the file (written by process 0 only; warm pass writes directly)
+for _ in range(1 if WARM else 120):
     if latest_checkpoint_step(workdir) == 2:
         break
     time.sleep(0.5)
 assert latest_checkpoint_step(workdir) == 2
 
+barrier("pre_load")
 with mesh:
     state2, step = load_checkpoint(workdir, jax.device_get(state))
     assert step == 2
-    a = jax.device_get(state.params_g)["params"]["enc_p"]["emb"]["embedding"]
-    b = state2.params_g["params"]["enc_p"]["emb"]["embedding"]
+    a = jax.device_get(state.params_g)["params"]["enc_p"]["symbol_emb"]["embedding"]
+    b = state2.params_g["params"]["enc_p"]["symbol_emb"]["embedding"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
-print(f"[{pid}] MULTIHOST_OK", flush=True)
+print(("WARM_OK" if WARM else f"[{pid}] MULTIHOST_OK"), flush=True)
 """
 
 
@@ -134,10 +183,28 @@ def test_two_process_train_and_checkpoint(tmp_path):
     worker.write_text(_WORKER)
     ckpt_dir = tmp_path / "ckpt"
     ckpt_dir.mkdir()
+    warm_dir = tmp_path / "warm_ckpt"
+    warm_dir.mkdir()
     port = str(12000 + os.getpid() % 2000)
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker pins cpu via jax.config
+
+    # Cache-warm pass: ONE process, 4 local virtual devices, no
+    # jax.distributed — compiles the exact programs (same HLO, same 4-device
+    # logical topology, shared persistent cache) so the two real workers
+    # below compile from cache in seconds and reach every gloo collective
+    # well inside its fixed 30 s rendezvous window.  Without this, the
+    # multi-minute train-step compile skews the processes apart on a 2-CPU
+    # box and gloo context initialization times out.
+    warm = subprocess.run(
+        [sys.executable, str(worker), "-1", port, str(warm_dir)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True, timeout=900,
+    )
+    assert warm.returncode == 0, f"warm pass failed:\n{warm.stdout[-4000:]}"
+    assert "WARM_OK" in warm.stdout
+
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), port, str(ckpt_dir)],
