@@ -75,6 +75,11 @@ def main():
         help="XLA attention in training (A/B against the fused custom-VJP "
              "attention kernel)",
     )
+    ap.add_argument(
+        "--folded-mrf", action="store_true",
+        help="differentiable polyphase-folded MRF for the decoder's narrow "
+             "stages (A/B against the plain XLA ResBlock path)",
+    )
     args = ap.parse_args()
 
     import dataclasses
@@ -88,7 +93,7 @@ def main():
         cfg, train=dataclasses.replace(
             cfg.train, fused_wn=args.fused_wn, fp16_run=args.bf16,
             bf16_scope="full" if args.bf16_full else "stable",
-            fused_attn=args.fused_attn,
+            fused_attn=args.fused_attn, folded_mrf=args.folded_mrf,
         )
     )
     on_tpu = jax.default_backend() == "tpu"
@@ -137,6 +142,7 @@ def main():
         "batch": B, "frames": T, "backend": jax.default_backend(),
         "fused_wn": args.fused_wn, "bf16": args.bf16,
         "bf16_scope": cfg.train.bf16_scope, "fused_attn": args.fused_attn,
+        "folded_mrf": args.folded_mrf,
     }
     print(json.dumps(out) if args.json else out)
 

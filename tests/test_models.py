@@ -174,3 +174,54 @@ class TestDiscriminator:
         for rl in r_logits:
             assert rl.ndim == 2 and rl.shape[0] == 2
         assert len(r_fmaps[0]) == 7  # 6 convs + post for DiscriminatorS
+
+
+class TestFoldedMRFTraining:
+    """The polyphase-folded MRF (ops/folded_mrf.py) is pure XLA and
+    differentiable — when enabled for training (Generator.folded_narrow,
+    cfg.train.folded_mrf) both the forward and the GRADIENTS must match the
+    plain ResBlock path (same math, different association)."""
+
+    def _gen(self, folded):
+        from vispeech_tpu.models.generator import Generator
+
+        return Generator(
+            resblock="1", resblock_kernel_sizes=(3, 7),
+            resblock_dilation_sizes=((1, 3), (1, 3)),
+            upsample_rates=(4, 2), upsample_initial_channel=64,
+            upsample_kernel_sizes=(8, 4), gin_channels=8,
+            folded_narrow=folded,
+        )
+
+    def test_forward_and_grads_match_xla(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+        g = jnp.asarray(rng.randn(2, 1, 8), jnp.float32)
+        ref, fold = self._gen(False), self._gen(True)
+        params = ref.init(jax.random.PRNGKey(0), x, g)
+
+        def loss(model, p):
+            y = model.apply(p, x, g)
+            return jnp.sum(y * y), y
+
+        (l0, y0), g0 = jax.value_and_grad(
+            lambda p: loss(ref, p), has_aux=True)(params)
+        (l1, y1), g1 = jax.value_and_grad(
+            lambda p: loss(fold, p), has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+        flat0 = jax.tree_util.tree_leaves_with_path(g0)
+        flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+        for path, leaf in flat0:
+            other = flat1[path]
+            scale = max(float(jnp.max(jnp.abs(leaf))), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(other) / scale, np.asarray(leaf) / scale,
+                rtol=2e-4, atol=2e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )

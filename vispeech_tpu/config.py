@@ -62,12 +62,21 @@ class TrainConfig:
     c_kl: float = 1.0
     save_dir: str = "./logdir/vispeech"
     # differentiable fused WN stack (Pallas custom VJP) in the posterior
-    # encoder + flow couplings during training (ops/pallas/wn_stack_train.py)
-    fused_wn: bool = False
+    # encoder + flow couplings during training (ops/pallas/wn_stack_train.py);
+    # measured 8.45 vs 8.09 steps/s stacked on the other kernels, and the
+    # full stack's flagship overfit converges
+    # (benchmarks/artifacts/convergence_fp32_allfused.json: mel ×0.51)
+    fused_wn: bool = True
     # trainable fused rel-pos attention (Pallas custom VJP + in-kernel
     # dropout) in the phoneme/frame encoders during training
     # (ops/pallas/flash_attention_train.py) — the measured top train stage
     fused_attn: bool = True
+    # differentiable polyphase-folded MRF (ops/folded_mrf.py, pure XLA) for
+    # the decoder's narrow C<=64 stages during training — exact-math
+    # equivalent to the ResBlock path (gradients pinned,
+    # tests/test_models.py::TestFoldedMRFTraining); measured 8.09 vs 7.48
+    # steps/s at B=12×1024 on v5e
+    folded_mrf: bool = True
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,10 @@ class Generator(nn.Module):
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
     gin_channels: int = 0
+    # Differentiable polyphase-folded MRF (ops/folded_mrf.py — pure XLA)
+    # for the narrow stages (C<=64) in TRAINING: same math, 128-wide
+    # matmuls; the Pallas kernels stay inference-only (no VJP)
+    folded_narrow: bool = False
 
     @nn.compact
     def __call__(
@@ -39,6 +43,7 @@ class Generator(nn.Module):
         num_kernels = len(self.resblock_kernel_sizes)
         block = ResBlock1 if self.resblock == "1" else ResBlock2
         fused = fused and self.resblock == "1"
+        folded_narrow = self.folded_narrow and self.resblock == "1"
 
         x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         if g is not None and self.gin_channels:
@@ -61,7 +66,7 @@ class Generator(nn.Module):
             # polyphase-folded path wins — fold samples into channels so
             # every matmul is 128 wide (ops/folded_mrf.py).
             fold = max(1, 128 // ch)
-            if fused and ch < 64 and x.shape[1] % fold == 0:
+            if (fused or folded_narrow) and ch < 64 and x.shape[1] % fold == 0:
                 from vispeech_tpu.ops.folded_mrf import mrf_stage_folded
 
                 packed = tuple(b(x, collect=True) for b in blocks)
@@ -84,6 +89,18 @@ class Generator(nn.Module):
                         tuple(d) for d in self.resblock_dilation_sizes
                     ),
                     interpret=jax.default_backend() != "tpu",
+                )
+            elif folded_narrow and ch == 64 and x.shape[1] % 2 == 0:
+                from vispeech_tpu.ops.folded_mrf import mrf_stage_folded
+
+                packed = tuple(b(x, collect=True) for b in blocks)
+                x = mrf_stage_folded(
+                    x, packed,
+                    kernel_sizes=tuple(self.resblock_kernel_sizes),
+                    dilations=tuple(
+                        tuple(d) for d in self.resblock_dilation_sizes
+                    ),
+                    fold=2,
                 )
             else:
                 acc = None

@@ -254,6 +254,9 @@ class Synthesizer(nn.Module):
     # Training policy: trainable fused attention (custom VJP + in-kernel
     # dropout) in the phoneme/frame rel-pos encoders (cfg.train.fused_attn)
     train_fused_attn: bool = False
+    # Training policy: differentiable polyphase-folded MRF for the decoder's
+    # narrow (C<=64) stages (cfg.train.folded_mrf)
+    train_folded_mrf: bool = False
 
     @classmethod
     def from_config(
@@ -293,6 +296,7 @@ class Synthesizer(nn.Module):
             use_sdp=m.use_sdp,
             train_fused_wn=cfg.train.fused_wn,
             train_fused_attn=cfg.train.fused_attn,
+            train_folded_mrf=cfg.train.folded_mrf,
         )
 
     @classmethod
@@ -313,6 +317,7 @@ class Synthesizer(nn.Module):
             self.resblock, self.resblock_kernel_sizes, self.resblock_dilation_sizes,
             self.upsample_rates, self.upsample_initial_channel,
             self.upsample_kernel_sizes, gin_channels=self.gin_channels,
+            folded_narrow=self.train_folded_mrf,
         )
         self.enc_q = PosteriorEncoder(
             self.inter_channels, self.hidden_channels, 5, 1, 16,

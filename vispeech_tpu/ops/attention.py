@@ -172,7 +172,10 @@ class MultiHeadAttention(nn.Module):
             and self.block_length is None
             and not deterministic
             and key_mask is not None
-            and (jax.default_backend() == "tpu" or rate == 0.0)
+            # TPU only: off-TPU the kernel would run in interpret mode
+            # (orders of magnitude slower than XLA); the kernel itself is
+            # interpret-tested directly in tests/test_flash_attn_train.py
+            and jax.default_backend() == "tpu"
         )
         if train_kernel_ok:
             from vispeech_tpu.ops.pallas.flash_attention_train import (

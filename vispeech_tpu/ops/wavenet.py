@@ -77,6 +77,11 @@ class WN(nn.Module):
             # the trainable kernel's hand-written VJP is validated in f32;
             # under the bf16 policy fall back to the XLA loop (still bf16)
             and x.dtype == jnp.float32
+            # off-TPU the kernel only exists in interpret mode (orders of
+            # magnitude slower than the XLA loop, and now the DEFAULT config
+            # enables trainable_fused) — CPU training/tests keep XLA; the
+            # kernel itself is still interpret-tested in tests/test_wn_train
+            and jax.default_backend() == "tpu"
         ):
             return self._fused(x, x_mask, g, trainable=True)
         if g is not None:
