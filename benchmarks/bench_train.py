@@ -55,15 +55,19 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--json", action="store_true")
+    # Defaults mirror the SHIPPED training policy (config.TrainConfig:
+    # f32 + fused attention + fused WN + folded MRF) so an unflagged run
+    # reports the number the framework actually trains at; every kernel and
+    # the diverging bf16 policy stay A/B-able via explicit flags.
     ap.add_argument(
-        "--fused-wn", action="store_true",
-        help="differentiable fused WN stack (Pallas custom VJP) in the "
-             "posterior encoder + flows — A/B against the default XLA path",
+        "--no-fused-wn", dest="fused_wn", action="store_false", default=True,
+        help="XLA WN stack in posterior/flows (A/B against the default "
+             "fused custom-VJP kernel)",
     )
     ap.add_argument(
-        "--fp32", dest="bf16", action="store_false", default=True,
-        help="disable the bf16 policy (train.fp16_run) — A/B against the "
-             "default mixed-precision step",
+        "--bf16", dest="bf16", action="store_true", default=False,
+        help="enable the bf16 policy (train.fp16_run) — A/B only; known to "
+             "diverge in convergence runs (see config.TrainConfig.fp16_run)",
     )
     ap.add_argument(
         "--bf16-full", action="store_true",
@@ -76,11 +80,14 @@ def main():
              "attention kernel)",
     )
     ap.add_argument(
-        "--folded-mrf", action="store_true",
-        help="differentiable polyphase-folded MRF for the decoder's narrow "
-             "stages (A/B against the plain XLA ResBlock path)",
+        "--no-folded-mrf", dest="folded_mrf", action="store_false",
+        default=True,
+        help="plain XLA ResBlock decoder path (A/B against the default "
+             "differentiable polyphase-folded MRF)",
     )
     args = ap.parse_args()
+    if args.bf16_full:
+        args.bf16 = True
 
     import dataclasses
 

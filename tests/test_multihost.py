@@ -102,11 +102,26 @@ if not WARM:
 # instant, so the skew a gloo collective sees is only the DIFFERENCE in
 # compile durations (seconds for identical programs), never the absolute
 # compile time — gloo's fixed 30 s rendezvous window holds.
-from jax._src import distributed as _dist
+def _coord_client():
+    # the coordination-service client moved across JAX versions; fall back
+    # through the known locations, then to None (barrier becomes a no-op
+    # and the test relies on gloo's own rendezvous window)
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client
+    except Exception:
+        return None
+
+_CLIENT = _coord_client()
 
 def barrier(name):
-    if not WARM:
-        _dist.global_state.client.wait_at_barrier(name, timeout_in_ms=600_000)
+    if WARM:
+        return
+    if _CLIENT is not None:
+        _CLIENT.wait_at_barrier(name, timeout_in_ms=600_000)
+    else:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 # process-local batch half (B_local=2 -> B_global=4), deterministic per rank
 # (the warm pass holds all 4 rows locally and compiles the same programs)

@@ -35,15 +35,22 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, g: Optional[Array] = None, fused: bool = False
+        self, x: Array, g: Optional[Array] = None, fused: bool = False,
+        folded: Optional[bool] = None,
     ) -> Array:
         """``fused=True`` runs each MRF stage as one Pallas kernel
         (ops/pallas/mrf_stage.py) — inference-only (no VJP); identical
-        parameters and output to the XLA path (tested).  resblock "1" only."""
+        parameters and output to the XLA path (tested).  resblock "1" only.
+        ``folded`` selects the differentiable polyphase-folded MRF for the
+        narrow stages; None falls back to the module's ``folded_narrow``
+        (the training default) — serving passes an explicit value so a
+        train.* config flag never changes inference dispatch."""
         num_kernels = len(self.resblock_kernel_sizes)
         block = ResBlock1 if self.resblock == "1" else ResBlock2
         fused = fused and self.resblock == "1"
-        folded_narrow = self.folded_narrow and self.resblock == "1"
+        if folded is None:
+            folded = self.folded_narrow
+        folded_narrow = folded and self.resblock == "1"
 
         x = Conv1d(self.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         if g is not None and self.gin_channels:

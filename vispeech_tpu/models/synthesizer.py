@@ -558,10 +558,14 @@ class Synthesizer(nn.Module):
         waveform is returned f32), ``fused_decode`` dispatches the MRF stages
         to the Pallas / polyphase-folded kernels."""
         dtype = jnp.dtype(self.decode_dtype)
+        # folded=False: serving dispatch is governed solely by the serving
+        # policy's `fused_decode` (which already routes C<64 stages through
+        # the folded path); the train.folded_mrf flag must not leak here
         o = self.dec(
             z.astype(dtype),
             g=g.astype(dtype) if g is not None else None,
             fused=self.fused_decode,
+            folded=False,
         )
         return o.astype(jnp.float32)
 

@@ -194,8 +194,11 @@ class MultiHeadAttention(nn.Module):
                 (n_rel, 2 * self.window_size + 1, d_k),
             )
             if rate > 0.0:
+                # seed rides a float32 carrier into the kernel: keep it
+                # < 2^23 so the int value is exactly representable (larger
+                # draws quantize, letting two layers share dropout streams)
                 seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, 2 ** 31 - 1
+                    self.make_rng("dropout"), (), 0, 2 ** 23
                 ).astype(jnp.float32)
             else:
                 seed = jnp.float32(0)

@@ -47,6 +47,13 @@ def _dropout_keep(shape, rate: float):
     return (bits >= threshold).astype(jnp.float32)
 
 
+def _stream_seed(seed, bh, nq, qi):
+    """Per-program dropout stream id — ONE definition shared by the forward
+    and backward kernels so the regenerated bwd keep-mask is bit-identical
+    to the fwd one (`nq` must be the q-block grid extent in both)."""
+    return seed + bh * nq + qi
+
+
 def _fwd_kernel(
     seed_ref,     # [1, 1] int32 (SMEM)
     q_ref,        # [1, BQ, d]
@@ -95,7 +102,7 @@ def _fwd_kernel(
     lse_ref[0, 0] = (m + jnp.log(s))[:, 0]
 
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0, 0] + bh * pl.num_programs(1) + qi)
+        pltpu.prng_seed(_stream_seed(seed_ref[0, 0], bh, pl.num_programs(1), qi))
         p = p * _dropout_keep(p.shape, rate) * (1.0 / (1.0 - rate))
 
     out = jax.lax.dot_general(
@@ -168,7 +175,7 @@ def _bwd_kernel(
         p = jnp.exp(scores - lse[:, None])                       # [BQ, T]
 
         if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + bh * nq + qi)
+            pltpu.prng_seed(_stream_seed(seed_ref[0, 0], bh, nq, qi))
             keep = _dropout_keep(p.shape, rate) * (1.0 / (1.0 - rate))
             pd = p * keep                                        # dropped probs
         else:
