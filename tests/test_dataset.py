@@ -117,3 +117,60 @@ class TestCollate:
         # padding regions are zero
         assert out["spec"][0, 8:].sum() == 0
         assert out["wav"][2, 6 * HOP:].sum() == 0
+
+
+class TestPhonemeBudgets:
+    def test_one_shape_per_bucket(self, tmp_path, cfg):
+        """Per-bucket static phoneme pads: every batch a bucket serves has
+        the same (T, N) shape regardless of which utterances land in it."""
+        from vispeech_tpu.data.dataset import bucket_phoneme_budgets, data_loader
+
+        # bucket 0 (<=64 frames): utts with 2 and 40 phonemes; batch_size=1
+        # would otherwise produce N=32 and N=64 batches from one bucket
+        fl = write_corpus(tmp_path, cfg, [[20, 20], [1] * 40, [30, 30]])
+        ds = FilelistDataset(fl, cfg, data_root=str(tmp_path))
+        s = BucketSampler(ds.lengths, batch_size=1, shuffle=False)
+        budgets = bucket_phoneme_budgets(ds, s)
+        assert budgets == {0: 64}  # max(2, 40, 2) phonemes -> round up 32
+        shapes = set()
+        for raw in data_loader(ds, s, epoch=0, phoneme_budgets=budgets):
+            shapes.add((raw["spec"].shape[1], raw["phonemes"].shape[1]))
+        assert shapes == {(64, 64)}
+
+    def test_budget_never_truncates(self, tmp_path, cfg):
+        from vispeech_tpu.data.dataset import collate
+
+        fl = write_corpus(tmp_path, cfg, [[1] * 40])
+        ds = FilelistDataset(fl, cfg, data_root=str(tmp_path))
+        out = collate(ds, [0], frame_budget=64, phoneme_budget=32)
+        assert out["phonemes"].shape[1] == 64  # actual max wins over budget
+
+
+class TestLoaderFailures:
+    def test_prefetch_error_propagates(self, tmp_path, cfg):
+        """A bad utterance fails the loader loudly instead of silently
+        ending the epoch (found by a silent 1-batch epoch in round 4)."""
+        from vispeech_tpu.data.dataset import data_loader
+
+        fl = write_corpus(tmp_path, cfg, [[20, 20], [10, 10]])
+        ds = FilelistDataset(fl, cfg, data_root=str(tmp_path))
+        # corrupt u1's wav to half its length -> Σdur mismatch at load
+        p = tmp_path / "s1" / "u1.wav"
+        sr, data = __import__("scipy.io", fromlist=["wavfile"]).wavfile.read(str(p))
+        wavfile.write(str(p), sr, data[: len(data) // 2])
+        s = BucketSampler(ds.lengths, batch_size=1, shuffle=False)
+        with pytest.raises(AssertionError):
+            for _ in data_loader(ds, s, epoch=0):
+                pass
+
+    def test_stale_spec_cache_recomputed(self, tmp_path, cfg):
+        """A .spec.npy whose frame count mismatches Σdur (wav replaced
+        underneath it) is recomputed, not trusted."""
+        fl = write_corpus(tmp_path, cfg, [[20, 20]])
+        ds = FilelistDataset(fl, cfg, data_root=str(tmp_path))
+        u = ds.utterances[0]
+        np.save(u.wav_path.replace(".wav", ".spec.npy"),
+                np.zeros((7, cfg.spec_channels), np.float32))  # stale: 7 != 40
+        spec, wav = ds.load_audio(u)
+        assert spec.shape[0] == 40
+        assert np.abs(spec).sum() > 0  # fresh spec, not the zero stale one

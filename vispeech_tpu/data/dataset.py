@@ -148,6 +148,10 @@ class FilelistDataset:
                 spec = np.load(spec_path)
             except Exception:
                 spec = None
+            # a stale cache (wav replaced since the spec was written) shows
+            # up as a frame-count mismatch — recompute instead of asserting
+            if spec is not None and abs(spec.shape[0] - utt.n_frames) >= 2:
+                spec = None
         if spec is None:
             spec = numpy_spectrogram(
                 audio, cfg.filter_length, cfg.hop_length, cfg.win_length
@@ -242,22 +246,51 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def bucket_phoneme_budgets(
+    dataset: FilelistDataset,
+    sampler: "BucketSampler",
+    phoneme_pad_multiple: int = PHONEME_PAD_MULTIPLE,
+) -> dict:
+    """Static per-bucket phoneme pad: the max phoneme count over every
+    utterance the bucket can ever serve, rounded up to the pad multiple.
+
+    With this, each frame bucket maps to exactly ONE (T, N) batch shape, so
+    the jitted train step compiles at most once per non-empty bucket instead
+    of once per (bucket, batch-max-phonemes) combination — the per-batch
+    round-up can draw a different N almost every batch at production scale
+    (a recompile storm on a multi-minute-compile program).
+    """
+    budgets = {}
+    for b, idxs in enumerate(sampler.bucket_indices):
+        if idxs:
+            budgets[b] = _round_up(
+                max(len(dataset.utterances[i].phonemes) for i in idxs),
+                phoneme_pad_multiple,
+            )
+    return budgets
+
+
 def collate(
     dataset: FilelistDataset,
     indices: Sequence[int],
     frame_budget: int,
     phoneme_pad_multiple: int = PHONEME_PAD_MULTIPLE,
+    phoneme_budget: Optional[int] = None,
 ):
     """Assemble one padded batch with static shapes.
 
-    Frames pad to `frame_budget` (the bucket bound), phonemes to the next
-    multiple of `phoneme_pad_multiple` — bounded compile count.
+    Frames pad to `frame_budget` (the bucket bound), phonemes to
+    `phoneme_budget` when given (per-bucket static shape, see
+    bucket_phoneme_budgets) else to the next multiple of
+    `phoneme_pad_multiple` — bounded compile count.
     Returns a dict of numpy arrays matching train.step.Batch fields.
     """
     cfg = dataset.cfg
     utts = [dataset.utterances[i] for i in indices]
     B = len(utts)
     n_ph = _round_up(max(len(u.phonemes) for u in utts), phoneme_pad_multiple)
+    if phoneme_budget is not None:
+        n_ph = max(n_ph, phoneme_budget)
     T = frame_budget
     hop = cfg.hop_length
 
@@ -306,16 +339,26 @@ def data_loader(
     sampler: BucketSampler,
     epoch: int,
     prefetch: int = 4,
+    phoneme_budgets: Optional[dict] = None,
 ) -> Iterator[dict]:
-    """Background-thread prefetching iterator over collated numpy batches."""
+    """Background-thread prefetching iterator over collated numpy batches.
+
+    `phoneme_budgets` (bucket_id → static phoneme pad, from
+    bucket_phoneme_budgets) pins each bucket to one batch shape."""
     sampler.set_epoch(epoch)
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     sentinel = object()
+    failure: list = []
 
     def worker():
         try:
             for bucket_id, indices in sampler:
-                q.put(collate(dataset, indices, sampler.buckets[bucket_id]))
+                q.put(collate(
+                    dataset, indices, sampler.buckets[bucket_id],
+                    phoneme_budget=(phoneme_budgets or {}).get(bucket_id),
+                ))
+        except BaseException as e:  # re-raised on the consumer thread below
+            failure.append(e)
         finally:
             q.put(sentinel)
 
@@ -324,5 +367,10 @@ def data_loader(
     while True:
         item = q.get()
         if item is sentinel:
+            # a prefetch failure must fail the training loop, not silently
+            # truncate the epoch (bad utterances would otherwise just
+            # vanish from training with no signal)
+            if failure:
+                raise failure[0]
             break
         yield item

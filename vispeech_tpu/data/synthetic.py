@@ -109,12 +109,18 @@ def write_synthetic_dataset(
     seed: int = 0,
     speakers: Sequence[str] = ("spk0", "spk1"),
     val_utts: int = 1,
+    n_phones_choices: Optional[Sequence[int]] = None,
 ) -> Tuple[str, str, str]:
     """Write wavs + filelists under `root`.
 
     Returns (train_list, val_list, data_root).  The val list reuses the
     first training utterance (overfit validation — the reference's evaluate
     also synthesizes training-distribution text, train.py:272-339).
+
+    `n_phones_choices` produces a mixed-length corpus: utterance *i* gets
+    ``n_phones_choices[i % len]`` phonemes (deterministic), so frame lengths
+    spread across the production bucket range — the regime the Trainer's
+    bucketed batching actually faces (reference data_utils.py:219-318).
     """
     from scipy.io import wavfile
 
@@ -123,8 +129,10 @@ def write_synthetic_dataset(
     for i in range(n_utts):
         spk = speakers[i % len(speakers)]
         utt = f"u{i:03d}"
+        n_ph = (n_phones_choices[i % len(n_phones_choices)]
+                if n_phones_choices else n_phones)
         phones, durs, f0, energy, wav = synth_utterance(
-            seed * 10_007 + i, n_phones, sr, hop, dur_range
+            seed * 10_007 + i, n_ph, sr, hop, dur_range
         )
         os.makedirs(os.path.join(data_root, spk), exist_ok=True)
         wavfile.write(

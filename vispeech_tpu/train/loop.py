@@ -25,7 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from vispeech_tpu.config import Config, save_config
-from vispeech_tpu.data.dataset import BucketSampler, FilelistDataset, collate, data_loader
+from vispeech_tpu.data.dataset import (
+    BucketSampler,
+    FilelistDataset,
+    bucket_phoneme_budgets,
+    collate,
+    data_loader,
+)
 from vispeech_tpu.dsp import mel_spectrogram, spec_to_mel
 from vispeech_tpu.parallel import make_mesh, shard_batch
 from vispeech_tpu.text.symbols import N_SYMBOLS
@@ -85,10 +91,16 @@ class Trainer:
             seed=cfg.train.seed,
         )
         self.steps_per_epoch = max(len(self.sampler), 1)
+        # one static (T, N) shape per bucket → at most one train-step
+        # compile per non-empty bucket (see bucket_phoneme_budgets)
+        self.phoneme_budgets = bucket_phoneme_budgets(self.train_set, self.sampler)
+        self._shapes_seen: set = set()
         self.logger.info(
-            "train: %d utts, val: %d utts, %d steps/epoch, devices=%d",
+            "train: %d utts, val: %d utts, %d steps/epoch, devices=%d, "
+            "buckets(T→N): %s",
             len(self.train_set), len(self.val_set), self.steps_per_epoch,
             len(jax.devices()),
+            {self.sampler.buckets[b]: n for b, n in self.phoneme_budgets.items()},
         )
 
         rng = jax.random.PRNGKey(cfg.train.seed)
@@ -121,6 +133,10 @@ class Trainer:
         # preemption flag: set by request_stop() / SIGTERM during train()
         self._stop_requested = False
         self._profiling = False
+        # per-step (frame_bucket, wall_seconds) pairs — dispatch wall time;
+        # with the async pipeline saturated the median tracks device step
+        # time (benchmarks/bench_trainer_e2e.py aggregates per bucket)
+        self.step_times: list = []
 
     # ------------------------------------------------------------------ utils
 
@@ -158,7 +174,10 @@ class Trainer:
     # ------------------------------------------------------------------ train
 
     def _batches(self, epoch: int) -> Iterator[Batch]:
-        for raw in data_loader(self.train_set, self.sampler, epoch):
+        for raw in data_loader(
+            self.train_set, self.sampler, epoch,
+            phoneme_budgets=self.phoneme_budgets,
+        ):
             yield Batch(**raw)
 
     def request_stop(self) -> None:
@@ -199,6 +218,39 @@ class Trainer:
             if old_handler is not None:
                 signal.signal(signal.SIGTERM, old_handler)
             self._stop_profile()
+            self._write_train_stats()
+
+    def _write_train_stats(self) -> None:
+        """Machine-readable run stats sidecar (per-bucket step times, compile
+        count) for harnesses/operators; process 0 only."""
+        if jax.process_index() != 0:
+            return
+        import json
+
+        by_bucket: dict = {}
+        for t_frames, dt in self.step_times:
+            by_bucket.setdefault(t_frames, []).append(dt)
+        stats = {
+            "global_step": self.global_step,
+            "compiled_shapes": sorted(self._shapes_seen),
+            "n_compiles": len(self._shapes_seen),
+            "steps_by_bucket": {
+                str(k): {
+                    "n": len(v),
+                    "median_ms": round(1e3 * float(np.median(v)), 2),
+                    # steady state: drop each bucket's first (compile) step
+                    "steady_median_ms": round(
+                        1e3 * float(np.median(sorted(v)[: max(len(v) - 1, 1)])), 2
+                    ),
+                }
+                for k, v in sorted(by_bucket.items())
+            },
+        }
+        try:
+            with open(os.path.join(self.save_dir, "train_stats.json"), "w") as f:
+                json.dump(stats, f, indent=1)
+        except OSError:  # pragma: no cover
+            pass
 
     def _start_profile(self) -> None:
         if not self._profiling:
@@ -241,8 +293,21 @@ class Trainer:
                         self._save(step)
                         self._checkpointer.wait()  # durable before returning
                         return
+                    shape = (batch.spec.shape[1], batch.phonemes.shape[1])
+                    if shape not in self._shapes_seen:
+                        self._shapes_seen.add(shape)
+                        self.logger.info(
+                            "step %d: new batch shape T=%d N=%d "
+                            "(compile %d of ≤%d buckets)",
+                            step, shape[0], shape[1], len(self._shapes_seen),
+                            len(self.phoneme_budgets),
+                        )
                     batch = shard_batch(batch, self.mesh)
+                    t_step = time.perf_counter()
                     self.state, metrics = self._step_fn(self.state, batch)
+                    self.step_times.append(
+                        (shape[0], time.perf_counter() - t_step)
+                    )
                     step += 1
                     if step % cfg.train.log_interval == 0 and self.tb is not None:
                         metrics = jax.device_get(metrics)
