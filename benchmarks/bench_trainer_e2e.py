@@ -174,14 +174,34 @@ def main():
 
     kill_at = int(args.steps * args.kill_frac)
     t_run1 = time.time()
+    # stall watchdog: the axon tunnel can wedge a client mid-handshake
+    # (observed: jit-init hang with every thread idle); if the step count
+    # stops moving for --stall-timeout, hard-kill and relaunch once —
+    # resume-from-latest makes the retry safe.
+    stall_timeout = 900
+    retries = 1
+    killed_at = None
     proc = launch(cfg_path, data_root, args.steps, harness_log)
     print(f"[run1] pid {proc.pid}: training to {args.steps}, SIGTERM at "
           f"~step {kill_at}", flush=True)
-    # poll train.log until the kill step, then preempt
-    killed_at = None
+    last_progress = (time.time(), -1)
     while proc.poll() is None:
         time.sleep(5)
         s = current_step(save_dir)
+        if s > last_progress[1]:
+            last_progress = (time.time(), s)
+        elif time.time() - last_progress[0] > stall_timeout:
+            print(f"[run1] STALL: no step progress in {stall_timeout}s at "
+                  f"step {s}; killing pid {proc.pid}", flush=True)
+            proc.kill()
+            proc.wait(timeout=60)
+            if retries <= 0:
+                raise RuntimeError("trainer stalled twice; giving up")
+            retries -= 1
+            time.sleep(90)  # let the tunnel's dead connection drain
+            proc = launch(cfg_path, data_root, args.steps, harness_log)
+            print(f"[run1] relaunched pid {proc.pid}", flush=True)
+            last_progress = (time.time(), s)
         if s >= kill_at:
             killed_at = s
             print(f"[run1] step {s} >= {kill_at}: sending SIGTERM "

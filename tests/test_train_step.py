@@ -138,3 +138,42 @@ def test_train_step_fused_wn_matches_xla():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4
         )
+
+
+def test_train_step_bf16_only_stage():
+    """Diagnostic per-stage bf16 cast (cfg.train.bf16_only): the step runs,
+    losses stay finite, and only the selected stage's params are cast."""
+    import dataclasses
+
+    from vispeech_tpu.train.step import STAGE_PARAM_KEYS, g_param_cast
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        train=dataclasses.replace(
+            TINY_CFG.train, fp16_run=True, bf16_only=("flow", "enc_q")
+        ),
+    )
+    batch = make_batch()
+    state, mg, md = create_train_state(cfg, jax.random.PRNGKey(0), 64, batch)
+    assert mg.bf16_stages == ("flow", "enc_q")
+
+    cast = g_param_cast(cfg)
+    gp = cast(state.params_g["params"])
+    flow_dtypes = {a.dtype for a in jax.tree.leaves(gp["flow"])}
+    dec_dtypes = {a.dtype for a in jax.tree.leaves(gp["dec"])}
+    assert flow_dtypes == {jnp.dtype(jnp.bfloat16)}
+    assert jnp.dtype(jnp.bfloat16) not in dec_dtypes
+
+    step = jax.jit(make_train_step(cfg, mg, md))
+    new_state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(jax.device_get(v)), k
+    # master params stay f32
+    assert all(
+        a.dtype == jnp.float32
+        for a in jax.tree.leaves(new_state.params_g)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+    )
+    # stage names cover every STAGE_PARAM_KEYS entry
+    assert set(STAGE_PARAM_KEYS) == {
+        "enc_p", "heads", "fpn", "project", "enc_q", "flow", "dec"}

@@ -54,6 +54,12 @@ class TrainConfig:
     # "stable" = encoder-side only (decoder + discriminators stay f32);
     # "full" = everything, the reference autocast scope.
     bf16_scope: str = "stable"
+    # Diagnostic cast granularity: when non-empty (and fp16_run), cast ONLY
+    # these top-level generator modules to bf16 and keep everything else
+    # (incl. discriminators) f32 — used to localize which stage triggers the
+    # bf16 GAN collapse (benchmarks/bench_bf16_diag.py).  Overrides
+    # bf16_scope's keep-list.
+    bf16_only: Tuple[str, ...] = ()
     lr_decay: float = 0.999875
     segment_size: int = 16384
     init_lr_ratio: float = 1.0

@@ -257,6 +257,12 @@ class Synthesizer(nn.Module):
     # Training policy: differentiable polyphase-folded MRF for the decoder's
     # narrow (C<=64) stages (cfg.train.folded_mrf)
     train_folded_mrf: bool = False
+    # Diagnostic (cfg.train.bf16_only): stages whose training-forward compute
+    # runs in bf16 — float inputs cast to bf16 at the stage boundary and
+    # outputs cast back to f32, so precision effects are localized to ONE
+    # stage (params are cast to match in train/step.py).  Stage names:
+    # enc_p, heads, fpn, project, enc_q, flow, dec.
+    bf16_stages: Tuple[str, ...] = ()
 
     @classmethod
     def from_config(
@@ -297,6 +303,7 @@ class Synthesizer(nn.Module):
             train_fused_wn=cfg.train.fused_wn,
             train_fused_attn=cfg.train.fused_attn,
             train_folded_mrf=cfg.train.folded_mrf,
+            bf16_stages=tuple(cfg.train.bf16_only),
         )
 
     @classmethod
@@ -362,6 +369,24 @@ class Synthesizer(nn.Module):
             return self.emb_g(sid)[:, None, :]  # [B, 1, G]
         return None
 
+    def _stage(self, name: str, fn, *args, **kw):
+        """Precision-localization boundary (see bf16_stages): when `name`
+        is selected, run `fn` with float array args cast to bf16 and cast
+        its float outputs back to f32; otherwise call through unchanged."""
+        if name not in self.bf16_stages:
+            return fn(*args, **kw)
+
+        def cast(tree, dt):
+            return jax.tree.map(
+                lambda a: a.astype(dt)
+                if isinstance(a, jnp.ndarray)
+                and jnp.issubdtype(a.dtype, jnp.floating) else a,
+                tree,
+            )
+
+        out = fn(*cast(args, jnp.bfloat16), **cast(kw, jnp.bfloat16))
+        return cast(out, jnp.float32)
+
     def __call__(
         self,
         phonemes: Array,          # [B, N] int
@@ -376,43 +401,60 @@ class Synthesizer(nn.Module):
     ):
         """Training forward (reference models.py:624-670)."""
         g = self._speaker(sid)
-        x, x_mask = self.enc_p(phonemes, phoneme_lengths, deterministic=deterministic)
+        x, x_mask = self._stage(
+            "enc_p", self.enc_p, phonemes, phoneme_lengths,
+            deterministic=deterministic,
+        )
 
         # duration loss on log(d+1)
         logw_ = jnp.log(duration.astype(jnp.float32) + 1.0)[..., None] * x_mask
-        logw = self.duration_predictor(x, x_mask, g=g, deterministic=deterministic)
+        logw = self._stage(
+            "heads", self.duration_predictor, x, x_mask, g=g,
+            deterministic=deterministic,
+        )
         l_length = jnp.sum(jnp.square(logw - logw_)) / jnp.sum(x_mask)
 
         # pitch: teacher-forced GT injected through the prenet
         lf0 = f0_to_lf0(f0)
-        pred_lf0 = self.pitch_predictor(x, x_mask, g=g, deterministic=deterministic)
+        pred_lf0 = self._stage(
+            "heads", self.pitch_predictor, x, x_mask, g=g,
+            deterministic=deterministic,
+        )
         l_pitch = jnp.mean(jnp.square(lf0 - pred_lf0))
-        x = x + self.pitch_prenet(lf0[..., None])
+        x = x + self._stage("heads", self.pitch_prenet, lf0[..., None])
         pred_f0 = lf0_to_f0(pred_lf0)
 
         # energy
         norm_energy = normalize_energy(energy)
-        pred_norm_energy = self.energy_predictor(x, g=g, deterministic=deterministic)
+        pred_norm_energy = self._stage(
+            "heads", self.energy_predictor, x, g=g, deterministic=deterministic
+        )
         l_energy = jnp.mean(jnp.square(norm_energy - pred_norm_energy))
-        x = x + self.energy_prenet(norm_energy[..., None])
+        x = x + self._stage("heads", self.energy_prenet, norm_energy[..., None])
 
         # phoneme → frame expansion (static frame count = padded spec length)
         t_frames = spec.shape[1]
         x_frame, frame_lengths = length_regulate(x, duration, t_frames)
         frame_mask = length_mask(frame_lengths, t_frames, x.dtype)
 
-        x_frame = self.frame_prior_net(x_frame, frame_mask, deterministic=deterministic)
-        m_p, logs_p = self.project(x_frame, frame_mask)
-
-        z, m_q, logs_q, y_mask = self.enc_q(
-            spec, spec_lengths, g=g, deterministic=deterministic
+        x_frame = self._stage(
+            "fpn", self.frame_prior_net, x_frame, frame_mask,
+            deterministic=deterministic,
         )
-        z_p = self.flow(z, y_mask, g=g, deterministic=deterministic)
+        m_p, logs_p = self._stage("project", self.project, x_frame, frame_mask)
+
+        z, m_q, logs_q, y_mask = self._stage(
+            "enc_q", self.enc_q, spec, spec_lengths, g=g,
+            deterministic=deterministic,
+        )
+        z_p = self._stage(
+            "flow", self.flow, z, y_mask, g=g, deterministic=deterministic
+        )
 
         z_slice, ids_slice = rand_slice_segments(
             z, spec_lengths, self.segment_size, self.make_rng("sample")
         )
-        o = self.dec(z_slice, g=g)
+        o = self._stage("dec", self.dec, z_slice, g=g)
         return (
             o, l_length, l_pitch, l_energy, ids_slice, frame_mask, y_mask,
             (z, z_p, m_p, logs_p, m_q, logs_q),

@@ -83,6 +83,47 @@ def _cast_floats(tree, dtype):
     )
 
 
+# stage name (Synthesizer.bf16_stages) → top-level generator param keys
+STAGE_PARAM_KEYS = {
+    "enc_p": ("enc_p",),
+    "heads": ("duration_predictor", "pitch_predictor", "energy_predictor",
+              "pitch_prenet", "energy_prenet"),
+    "fpn": ("frame_prior_net",),
+    "project": ("project",),
+    "enc_q": ("enc_q",),
+    "flow": ("flow",),
+    "dec": ("dec",),
+}
+
+
+def g_param_cast(cfg: Config):
+    """The generator-param bf16 cast the train step applies under
+    ``cfg.train`` precision policy, as a reusable fn(params)->params
+    (shared with diagnostics so probes see training's exact precision)."""
+    if not cfg.train.fp16_run:
+        return lambda p: p
+    full_scope = cfg.train.bf16_scope == "full"
+    bf16_only = tuple(cfg.train.bf16_only)
+    if bf16_only:
+        only_keys = frozenset(
+            k for s in bf16_only for k in STAGE_PARAM_KEYS.get(s, (s,))
+        )
+
+        def _cast_module(k: str) -> bool:
+            return k in only_keys
+    else:
+        def _cast_module(k: str) -> bool:
+            return full_scope or k != "dec"
+
+    def cast(params):
+        return {
+            k: (_cast_floats(v, jnp.bfloat16) if _cast_module(k) else v)
+            for k, v in params.items()
+        }
+
+    return cast
+
+
 class TrainState(struct.PyTreeNode):
     step: Array
     params_g: Any
@@ -181,10 +222,13 @@ def make_train_step(
     d = cfg.data
     seg_frames = cfg.train.segment_size // d.hop_length
     compute_dtype = jnp.bfloat16 if cfg.train.fp16_run else jnp.float32
-    # "stable": decoder + discriminators stay f32 (see module docstring)
+    # "stable": decoder + discriminators stay f32 (see module docstring).
+    # bf16_only (diagnostic): cast ONLY the listed top-level generator
+    # modules, everything else f32 — localizes the collapse trigger.
     full_scope = cfg.train.bf16_scope == "full"
-    g_keep_f32 = () if full_scope else ("dec",)
-    d_dtype = compute_dtype if full_scope else jnp.float32
+    bf16_only = tuple(cfg.train.bf16_only)
+    _g_cast = g_param_cast(cfg)
+    d_dtype = (compute_dtype if full_scope and not bf16_only else jnp.float32)
 
     def g_forward(params_g, batch: Batch, rngs):
         return model_g.apply(
@@ -221,15 +265,13 @@ def make_train_step(
         def g_forward_split(gparams):
             fwd_batch = batch
             if compute_dtype != jnp.float32:
-                gparams = {
-                    k: (v if k in g_keep_f32 else _cast_floats(v, compute_dtype))
-                    for k, v in gparams.items()
-                }
-                fwd_batch = batch._replace(
-                    f0=batch.f0.astype(compute_dtype),
-                    energy=batch.energy.astype(compute_dtype),
-                    spec=batch.spec.astype(compute_dtype),
-                )
+                gparams = _g_cast(gparams)
+                if not bf16_only:  # stage boundaries cast their own inputs
+                    fwd_batch = batch._replace(
+                        f0=batch.f0.astype(compute_dtype),
+                        energy=batch.energy.astype(compute_dtype),
+                        spec=batch.spec.astype(compute_dtype),
+                    )
             (y_hat, l_length, l_pitch, l_energy, ids_slice, x_mask, y_mask,
              latents, pred_f0, pred_ne, ne) = g_forward(
                 {"params": gparams}, fwd_batch, rngs
