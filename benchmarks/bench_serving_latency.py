@@ -98,54 +98,83 @@ def bench_latency(cfg, buckets, n_requests: int):
     return out
 
 
-def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0):
-    """Throughput + padding efficiency for a sampled length distribution."""
-    from vispeech_tpu.infer.pipeline import _pick_bucket
+def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0,
+                       tiered: bool = True):
+    """Throughput + padding efficiency for a sampled length distribution.
+
+    ``tiered=True`` routes requests through the production planner
+    (infer/batching.py: batch tiers + 64-frame serving buckets);
+    ``tiered=False`` reproduces round 3's single-tier/coarse-bucket policy
+    for the A/B.  Compute time (block_until_ready) and host-transfer time
+    (device_get) are accounted separately so the tunnel artifact of this
+    environment no longer pollutes the architecture signal.
+    """
+    from vispeech_tpu.infer.batching import (
+        DEFAULT_TIERS, SERVING_BUCKETS, plan_batches, plan_stats,
+    )
+
+    coarse = (64, 128, 256, 384, 512, 640, 768, 896, 1024, 1152, 1280, 1400)
+    buckets = SERVING_BUCKETS if tiered else coarse
+    tiers = DEFAULT_TIERS if tiered else (batch,)
+    if batch < 16:  # CPU smoke shrinks the tier set too
+        tiers = tuple(t for t in tiers if t <= batch) or (batch,)
 
     rng = np.random.RandomState(seed)
     # lognormal utterance lengths clipped to the reference's [32, 1400] range
     frames = np.clip(np.exp(rng.normal(6.2, 0.55, n_requests)), 48, 1400)
     frames = frames.astype(np.int32)
-    buckets: dict = {}
-    for f in frames:
-        buckets.setdefault(_pick_bucket(int(f)), []).append(int(f))
+    plans = plan_batches(frames, buckets, tiers)
+    stats = plan_stats(plans, frames)
 
     fns = {}
-    for T in sorted(buckets):
-        fns[T] = build_infer(cfg, batch, T)
-        # warm/compile outside the timed region
-        model, variables, infer, N = fns[T]
-        a, _ = infer(variables,
-                     jnp.ones((batch, N), jnp.int32),
-                     jnp.full((batch,), N, jnp.int32),
-                     jnp.zeros((batch,), jnp.int32), jnp.int32(0))
+    for key in sorted({(p.bucket, p.tier) for p in plans}):
+        T, B = key
+        fns[key] = build_infer(cfg, B, T)
+        model, variables, infer, N = fns[key]  # warm/compile, untimed
+        a, _ = infer(variables, jnp.ones((B, N), jnp.int32),
+                     jnp.full((B,), N, jnp.int32),
+                     jnp.zeros((B,), jnp.int32), jnp.int32(0))
         np.asarray(jax.device_get(a))
 
-    real_frames = int(frames.sum())
-    padded_slots = 0
+    compute_s = 0.0
+    transfer_s = 0.0
     t0 = time.perf_counter()
-    for T, reqs in sorted(buckets.items()):
-        model, variables, infer, N = fns[T]
-        for off in range(0, len(reqs), batch):
-            group = reqs[off : off + batch]
-            padded_slots += batch * T
-            ph = np.ones((batch, N), np.int32)
-            audio, _ = infer(
-                variables, jnp.asarray(ph), jnp.full((batch,), N, jnp.int32),
-                jnp.zeros((batch,), jnp.int32), jnp.int32(off))
-            np.asarray(jax.device_get(audio))
+    for i, p in enumerate(plans):
+        model, variables, infer, N = fns[(p.bucket, p.tier)]
+        ph = np.ones((p.tier, N), np.int32)
+        t1 = time.perf_counter()
+        audio, _ = infer(
+            variables, jnp.asarray(ph), jnp.full((p.tier,), N, jnp.int32),
+            jnp.zeros((p.tier,), jnp.int32), jnp.int32(i))
+        jax.block_until_ready(audio)
+        t2 = time.perf_counter()
+        np.asarray(jax.device_get(audio))
+        t3 = time.perf_counter()
+        compute_s += t2 - t1
+        transfer_s += t3 - t2
     dt = time.perf_counter() - t0
 
     hop, sr = cfg.data.hop_length, cfg.data.sampling_rate
-    real_audio_s = real_frames * hop / sr
-    padded_audio_s = padded_slots * hop / sr
+    real_audio_s = float(frames.sum()) * hop / sr
+    padded_audio_s = stats["slot_frames"] * hop / sr
+    hist: dict = {}
+    for p in plans:
+        hist[p.bucket] = hist.get(p.bucket, 0) + len(p.indices)
     return {
         "requests": n_requests,
-        "batch": batch,
-        "bucket_histogram": {str(k): len(v) for k, v in sorted(buckets.items())},
+        "policy": ("tiered+fine-buckets" if tiered
+                   else "single-tier+coarse (round-3)"),
+        "tiers": list(tiers),
+        "n_batches": stats["n_batches"],
+        "dummy_rows": stats["dummy_rows"],
+        "bucket_histogram": {str(k): v for k, v in sorted(hist.items())},
         "effective_audio_s_per_s": round(real_audio_s / dt, 1),
+        "effective_audio_s_per_s_compute_only": round(
+            real_audio_s / compute_s, 1) if compute_s else None,
         "padded_audio_s_per_s": round(padded_audio_s / dt, 1),
         "padding_efficiency": round(real_audio_s / padded_audio_s, 4),
+        "compute_s": round(compute_s, 2),
+        "host_transfer_s": round(transfer_s, 2),
         "wall_s": round(dt, 2),
     }
 
@@ -170,12 +199,15 @@ def main():
 
     latency = bench_latency(
         cfg, [int(x) for x in args.buckets.split(",")], args.latency_requests)
-    dist = bench_distribution(cfg, args.requests, args.batch)
+    dist = bench_distribution(cfg, args.requests, args.batch, tiered=True)
     print(json.dumps(dist), flush=True)
+    dist_r3 = bench_distribution(cfg, args.requests, args.batch, tiered=False)
+    print(json.dumps(dist_r3), flush=True)
 
     out = {"metric": "serving_latency_and_distribution",
            "backend": jax.default_backend(),
-           "latency_b1": latency, "distribution": dist}
+           "latency_b1": latency, "distribution": dist,
+           "distribution_round3_policy": dist_r3}
     os.makedirs(args.out_dir, exist_ok=True)
     path = os.path.join(args.out_dir, "serving_latency.json")
     with open(path, "w") as f:

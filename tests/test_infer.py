@@ -254,3 +254,63 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"{server}/tts")
         assert ei.value.code == 400
+
+
+class TestBatchPlanning:
+    """Host-side tiered bucket planner (infer/batching.py)."""
+
+    def test_every_request_planned_once(self):
+        from vispeech_tpu.infer.batching import plan_batches
+
+        frames = [100, 500, 505, 510, 515, 520, 900, 60] * 3
+        plans = plan_batches(frames)
+        seen = sorted(i for p in plans for i in p.indices)
+        assert seen == list(range(len(frames)))
+
+    def test_tier_greedy(self):
+        from vispeech_tpu.infer.batching import plan_batches
+
+        # 19 same-bucket requests with tiers (16, 8, 4): 16 + 4(1 dummy)
+        plans = plan_batches([300] * 19, tiers=(16, 8, 4))
+        assert [(p.tier, len(p.indices)) for p in plans] == [(16, 16), (4, 3)]
+        assert plans[1].dummy_rows == 1
+
+    def test_efficiency_beats_single_tier(self):
+        from vispeech_tpu.infer.batching import plan_batches, plan_stats
+
+        rng = np.random.RandomState(0)
+        frames = np.clip(np.exp(rng.normal(6.2, 0.55, 256)), 48, 1400).astype(int)
+        tiered = plan_stats(plan_batches(frames), frames)
+        single = plan_stats(
+            plan_batches(frames, buckets=(64, 128, 256, 384, 512, 640, 768,
+                                          896, 1024, 1152, 1280, 1400),
+                         tiers=(16,)),
+            frames)
+        assert tiered["padding_efficiency"] > single["padding_efficiency"]
+        assert tiered["padding_efficiency"] >= 0.8  # round-4 target
+
+    def test_bucket_rounding_above_range(self):
+        from vispeech_tpu.infer.batching import pick_bucket
+
+        assert pick_bucket(1401) == 2800  # rounds up in multiples of last
+
+
+class TestSynthesizeBatch:
+    def test_batch_matches_fields_and_order(self, engine):
+        texts = ["[P]ni2 hao3[P]", "[P]ni2 hao3 ma5[P]", "[P]hao3[P]"]
+        outs = engine.synthesize_batch(texts=texts, seed=3)
+        assert len(outs) == 3
+        for t, o in zip(texts, outs):
+            assert o["sampling_rate"] == engine.cfg.data.sampling_rate
+            assert o["audio"].ndim == 1 and len(o["audio"]) > 0
+            assert len(o["phones"]) == len(o["duration"]) == len(o["f0"])
+        # request order preserved: row 2 is the shortest text
+        assert len(outs[2]["phones"]) < len(outs[0]["phones"])
+
+    def test_batch_speakers_differ(self, engine):
+        outs = engine.synthesize_batch(
+            texts=["[P]ni2 hao3[P]"] * 2, speakers=["alice", "bob"], seed=0)
+        assert not np.allclose(
+            outs[0]["audio"][: min(len(outs[0]["audio"]), len(outs[1]["audio"]))],
+            outs[1]["audio"][: min(len(outs[0]["audio"]), len(outs[1]["audio"]))],
+        )

@@ -1,0 +1,102 @@
+"""Bucketed batch planning for bulk serving.
+
+Round-3 measurement (benchmarks/artifacts/serving_latency.json): one fixed
+batch size per frame bucket wasted 41% of decoder compute — tail batches
+were dummy-padded to B=16 and the 128-frame bucket spacing over-padded the
+384–640-frame region where the request-length mass sits.  Fix, per the
+round-3 review:
+
+* **batch tiers** — each bucket's queue is split greedily into the largest
+  tier that fills completely (16s while ≥16 remain, then 8, then 4 …); only
+  the final sub-tier batch carries dummy rows, bounding slot waste to
+  ``min(tiers)-1`` rows per bucket instead of ``max(tiers)-1``.
+* **finer serving buckets** — 64-frame boundaries through the 256–704
+  mass region (compile cost is per-(bucket, tier) and lazy, so unused
+  shapes never compile).
+
+Pure host-side planning — testable anywhere, used by
+TTSEngine.synthesize_batch and benchmarks/bench_serving_latency.py.
+The reference serves strictly one request at a time behind a mutex
+(reference inference_api.py:35-69); batch serving is new capability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+# 64-frame spacing through the request-mass region (≈1.5–8 s at 44.1 kHz),
+# coarser above where relative padding waste is small anyway
+SERVING_BUCKETS: Tuple[int, ...] = (
+    64, 128, 192, 256, 320, 384, 448, 512, 576, 640, 704, 768,
+    896, 1024, 1152, 1280, 1400,
+)
+
+DEFAULT_TIERS: Tuple[int, ...] = (16, 8, 4)
+
+
+def pick_bucket(n_frames: int, buckets: Sequence[int] = SERVING_BUCKETS) -> int:
+    for b in buckets:
+        if n_frames <= b:
+            return b
+    m = buckets[-1]
+    return ((n_frames + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class BatchPlan:
+    """One device dispatch: `indices` are request positions (≤ `tier` of
+    them; missing rows are dummy-padded by the executor)."""
+
+    bucket: int     # frame budget (static T)
+    tier: int       # batch dimension (static B)
+    indices: Tuple[int, ...]
+
+    @property
+    def dummy_rows(self) -> int:
+        return self.tier - len(self.indices)
+
+
+def plan_batches(
+    frame_counts: Sequence[int],
+    buckets: Sequence[int] = SERVING_BUCKETS,
+    tiers: Sequence[int] = DEFAULT_TIERS,
+) -> List[BatchPlan]:
+    """Greedy tiered batching of requests (by predicted frame count).
+
+    Every request index appears in exactly one plan.  Within a bucket the
+    queue is cut into full batches of the largest tier that fits, and the
+    remainder goes into the smallest tier that covers it.
+    """
+    tiers = sorted(tiers, reverse=True)
+    by_bucket: Dict[int, List[int]] = {}
+    for i, f in enumerate(frame_counts):
+        by_bucket.setdefault(pick_bucket(int(f), buckets), []).append(i)
+
+    plans: List[BatchPlan] = []
+    for b in sorted(by_bucket):
+        idxs = by_bucket[b]
+        pos = 0
+        while pos < len(idxs):
+            rem = len(idxs) - pos
+            tier = next((t for t in tiers if t <= rem), tiers[-1])
+            take = min(tier, rem)
+            plans.append(BatchPlan(b, tier, tuple(idxs[pos : pos + take])))
+            pos += take
+    return plans
+
+
+def plan_stats(
+    plans: Sequence[BatchPlan],
+    frame_counts: Sequence[int],
+) -> Dict[str, float]:
+    """Slot accounting: padding_efficiency = real frames / padded slots."""
+    real = float(sum(frame_counts))
+    slots = float(sum(p.bucket * p.tier for p in plans))
+    return {
+        "n_batches": len(plans),
+        "real_frames": real,
+        "slot_frames": slots,
+        "dummy_rows": sum(p.dummy_rows for p in plans),
+        "padding_efficiency": round(real / slots, 4) if slots else 0.0,
+    }

@@ -186,6 +186,105 @@ class TTSEngine:
             "energy": np.asarray(energy)[0, :n],
         }
 
+    def synthesize_batch(
+        self,
+        texts: Optional[Sequence[str]] = None,
+        phones_list: Optional[Sequence[Sequence[str]]] = None,
+        speakers: Union[int, str, Sequence] = 0,
+        noise_scale: float = 0.667,
+        seed: int = 0,
+        tiers: Sequence[int] = None,
+    ) -> Sequence[Dict[str, np.ndarray]]:
+        """Bulk synthesis through tiered bucket batching (infer/batching.py).
+
+        Requests are grouped by predicted frame bucket, cut into batch
+        tiers (largest full tier first, remainder in the smallest covering
+        tier), and each group runs as ONE device dispatch — the throughput
+        path the reference's one-at-a-time mutex server never had
+        (reference inference_api.py:35-69).  Returns one result dict per
+        request, order-preserving, same fields as synthesize()."""
+        from vispeech_tpu.infer.batching import (
+            DEFAULT_TIERS, SERVING_BUCKETS, plan_batches,
+        )
+
+        if phones_list is None:
+            if texts is None:
+                raise ValueError("need texts or phones_list")
+            phones_list = [self.phonemes(t) for t in texts]
+        R = len(phones_list)
+        if not isinstance(speakers, (list, tuple, np.ndarray)):
+            speakers = [speakers] * R
+        sids = np.asarray(
+            [self.spk2id.get(s, 0) if isinstance(s, str) else int(s)
+             for s in speakers], np.int32)
+
+        ids_list = [cleaned_text_to_sequence(list(p)) for p in phones_list]
+        n_list = [len(ids) for ids in ids_list]
+
+        # ---- per-request predicted durations (grouped by phoneme pad) ----
+        durs = [None] * R
+        by_npad: Dict[int, list] = {}
+        for i, n in enumerate(n_list):
+            n_pad = min(_round_up(max(n, 1), _PH_PAD), self.max_phonemes)
+            if n > n_pad:
+                raise ValueError(f"too many phonemes: {n}")
+            by_npad.setdefault(n_pad, []).append(i)
+        for n_pad, idxs in by_npad.items():
+            ph = np.zeros((len(idxs), n_pad), np.int32)
+            for r, i in enumerate(idxs):
+                ph[r, : n_list[i]] = ids_list[i]
+            pred = np.asarray(jax.device_get(self._get_duration_fn(n_pad)(
+                self.variables, jnp.asarray(ph),
+                jnp.asarray([n_list[i] for i in idxs], jnp.int32),
+                jnp.asarray(sids[idxs]),
+            )))
+            for r, i in enumerate(idxs):
+                d = np.ceil(np.maximum(pred[r], 0.0)).astype(np.float32)
+                d[n_list[i]:] = 0
+                durs[i] = d
+        totals = [max(int(d.sum()), 1) for d in durs]
+
+        # ---- tiered bucket plan, one dispatch per plan -------------------
+        plans = plan_batches(totals, SERVING_BUCKETS,
+                             tiers or DEFAULT_TIERS)
+        results: list = [None] * R
+        hop = self.cfg.data.hop_length
+        base_key = jax.random.PRNGKey(seed)
+        for plan_idx, plan in enumerate(plans):
+            n_pad = _round_up(
+                max(n_list[i] for i in plan.indices), _PH_PAD)
+            B = plan.tier
+            ph = np.zeros((B, n_pad), np.int32)
+            lens = np.ones((B,), np.int32)
+            dur = np.zeros((B, n_pad), np.float32)
+            sid = np.zeros((B,), np.int32)
+            for r, i in enumerate(plan.indices):
+                ph[r, : n_list[i]] = ids_list[i]
+                lens[r] = n_list[i]
+                dur[r, : len(durs[i])] = durs[i][:n_pad]
+                sid[r] = sids[i]
+            run = self._get_infer_fn(n_pad, plan.bucket,
+                                     use_pitch_arr=False,
+                                     use_energy_arr=False)
+            audio, _, _, out_dur, f0, energy = jax.device_get(run(
+                self.variables, jnp.asarray(ph), jnp.asarray(lens),
+                jnp.asarray(sid), jax.random.fold_in(base_key, plan_idx),
+                jnp.asarray(noise_scale, jnp.float32),
+                jnp.asarray(dur),
+                jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
+            ))
+            for r, i in enumerate(plan.indices):
+                n = n_list[i]
+                results[i] = {
+                    "audio": np.asarray(audio)[r, : totals[i] * hop, 0],
+                    "sampling_rate": self.cfg.data.sampling_rate,
+                    "phones": list(phones_list[i]),
+                    "duration": np.asarray(out_dur)[r, :n],
+                    "f0": np.asarray(f0)[r, :n],
+                    "energy": np.asarray(energy)[r, :n],
+                }
+        return results
+
     def _split_control(self, ctrl: Control, n_pad: int, n: int):
         """array control → (padded array, None); scalar/None → (None, scale)."""
         if isinstance(ctrl, (np.ndarray, list, tuple)):

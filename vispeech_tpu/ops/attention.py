@@ -202,10 +202,16 @@ class MultiHeadAttention(nn.Module):
                 ).astype(jnp.float32)
             else:
                 seed = jnp.float32(0)
+            # VMEM budget: the bwd kernel keeps ~6 [block_q, T] f32
+            # temporaries + 7 [T, d] buffers live per program; block_q=128
+            # overflows the 16 MB scoped limit above T≈1024 (observed OOM
+            # at T=1280, B=12), so shrink the q-block as T grows.
+            block_q = 128 if T_t <= 1024 else 64
             out = relative_self_attention_train(
                 qh, kh, vh, rel_k, rel_v,
                 key_mask.astype(jnp.float32), seed, rate,
                 window=self.window_size,
+                block_q=block_q,
                 interpret=jax.default_backend() != "tpu",
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, T_t, self.channels)
