@@ -34,3 +34,37 @@ if not os.environ.get("VISPEECH_NO_JAX_CACHE"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# ---------------------------------------------------------------- smoke tier
+# `pytest -m smoke` = a <3-minute-cold slice touching every subsystem
+# shallowly (round-4 review item #7: one suite invocation must fit a
+# 10-minute cold budget; the full fast tier only fits warm).  Curated here
+# in ONE place rather than scattered marks: prefixes select whole
+# host-only modules; exact ids select the cheapest jit-bearing test of
+# each device-code subsystem.
+SMOKE_PREFIXES = (
+    "tests/test_text.py",           # L0 text frontend (host-only)
+    "tests/test_dataset.py",        # L2 data pipeline (numpy)
+    "tests/test_offline_tools.py",  # L1 offline tools (host)
+    "tests/test_utils.py",          # checkpoints/logging (tiny arrays)
+    "tests/test_infer.py::TestBatchPlanning",   # serving planner (host)
+)
+SMOKE_PREFIX_IDS = (
+    # one cheap representative per device subsystem (prefix match so
+    # parametrized variants ride along)
+    "tests/test_dsp.py::TestSpectrogram::test_frame_count",
+    "tests/test_ops_core.py::TestSpline::test_forward_inverse_identity",
+    "tests/test_ops_core.py::TestWNAndBlocks::test_wn_mask_and_cond",
+    "tests/test_pallas_kernels.py::TestRelativeSelfAttention::test_matches_xla",
+    "tests/test_sharding.py::test_intended_params_get_model_axis",
+    "tests/test_serving_policy.py::test_default_policy_per_backend",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        nid = item.nodeid
+        if any(nid.startswith(p) for p in SMOKE_PREFIXES + SMOKE_PREFIX_IDS):
+            item.add_marker(_pytest.mark.smoke)

@@ -63,7 +63,8 @@ def _fwd_kernel(
     relv_ref,     # [1, W, d]
     mask_ref,     # [1, 1, T]
     o_ref,        # [1, BQ, d]
-    lse_ref,      # [1, 1, BQ]
+    lse_ref,      # [1, BQ, 1]  (trailing singleton: keeps the block's last
+                  #  dim == the array's, legal for any BQ multiple of 8)
     *,
     scale: float,
     window: int,
@@ -99,7 +100,7 @@ def _fwd_kernel(
     e = jnp.exp(scores - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
     p = e / s                                 # [BQ, T]
-    lse_ref[0, 0] = (m + jnp.log(s))[:, 0]
+    lse_ref[0] = m + jnp.log(s)               # [BQ, 1]
 
     if rate > 0.0:
         pltpu.prng_seed(_stream_seed(seed_ref[0, 0], bh, pl.num_programs(1), qi))
@@ -126,7 +127,7 @@ def _bwd_kernel(
     relk_ref,     # [1, W, d]
     relv_ref,     # [1, W, d]
     mask_ref,     # [1, 1, T]
-    lse_ref,      # [1, 1, T]
+    lse_ref,      # [1, T, 1]
     do_ref,       # [1, T, d]
     dq_ref,       # [1, T, d]
     dk_ref,       # [1, T, d]
@@ -157,7 +158,7 @@ def _bwd_kernel(
         dk_acc, dv_acc, drelk_acc, drelv_acc = carry
         qs = q_ref[0, pl.ds(qi * block_q, block_q), :] * scale   # [BQ, d]
         do = do_ref[0, pl.ds(qi * block_q, block_q), :]          # [BQ, d]
-        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]        # [BQ]
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]        # [BQ]
 
         scores = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())),
@@ -329,12 +330,12 @@ def _fwd(q, k, v, rel_k, rel_v, key_mask, seed, rate, window, block_q,
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qi: (bh, 0, qi),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Tp, d), jnp.float32),
-            jax.ShapeDtypeStruct((B * H, 1, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Tp, 1), jnp.float32),
         ],
         interpret=interpret,
     )(seed_i, qf, kf, vf, relk, relv, maskf)
@@ -384,7 +385,7 @@ def _bwd(rate, window, block_q, interpret, res, g):
             pl.BlockSpec((1, W, d), rel_map1, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Tp), lambda bh, H=H: (bh // H, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tp), lambda bh: (bh, 0, 0),
+            pl.BlockSpec((1, Tp, 1), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Tp, d), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
