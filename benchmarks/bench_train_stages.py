@@ -104,7 +104,15 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--fp32", dest="bf16", action="store_false", default=True)
+    # default = the SHIPPED training policy (config.TrainConfig: f32 +
+    # fused attention/WN/folded-MRF all on) — round-3 review: the profile
+    # must describe the configuration that actually trains
+    ap.add_argument("--bf16", action="store_true", default=False,
+                    help="profile the (non-default, diverging) bf16 policy")
+    ap.add_argument("--only", default=None,
+                    help="comma list of stage names to run THIS invocation "
+                         "(chunked profiling: each chunk fits a driver "
+                         "timeout; results merge into the same artifact)")
     ap.add_argument("--skip-full-step", action="store_true",
                     help="skip the full-step cross-check (its compile alone "
                          "is multi-minute; the stage numbers stand on their "
@@ -141,8 +149,9 @@ def main():
     tag = "bf16" if args.bf16 else "fp32"
 
     batch = make_batch(cfg, B, N, T)
-    # stage applies run in TRAINING mode (deterministic=False: XLA attention
-    # path + live dropout, what the real step differentiates)
+    # stage applies run in TRAINING mode (deterministic=False, live dropout)
+    # under the config's kernel policy — with the shipped defaults that is
+    # fused attention + fused WN + folded MRF, what the real step runs
     _RNGS = {"sample": jax.random.PRNGKey(0),
              "dropout": jax.random.PRNGKey(1)}
     state, mg, md = create_train_state(
@@ -247,6 +256,12 @@ def main():
         "mel_slice": (stage_mel, None, (y_hat,)),
     }
 
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(stages)
+        assert not unknown, f"unknown stages: {unknown}"
+        stages = {k: v for k, v in stages.items() if k in wanted}
+
     results = {}
     for name, (fn, params, inputs) in stages.items():
         fwd_ms = time_fn(lambda i, f=fn, p=params: f(p, i), inputs, iters)
@@ -257,36 +272,50 @@ def main():
         print(f"{name:>12}: {row}", flush=True)
 
     # ---- full step cross-check --------------------------------------------
-    if args.skip_full_step:
-        results["full_step"] = None
-    step_fn = make_train_step(cfg, mg, md)
+    if not args.skip_full_step and not args.only:
+        step_fn = make_train_step(cfg, mg, md)
 
-    @jax.jit
-    def step_loop(state, b, n):
-        def body(i, st):
-            return step_fn(st, b)[0]
-        final = jax.lax.fori_loop(0, n, body, state)
-        return step_fn(final, b)[1]["loss/g/total"]
+        @jax.jit
+        def step_loop(state, b, n):
+            def body(i, st):
+                return step_fn(st, b)[0]
+            final = jax.lax.fori_loop(0, n, body, state)
+            return step_fn(final, b)[1]["loss/g/total"]
 
-    if not args.skip_full_step:
         dt = timed(lambda n: step_loop(state, batch, n), iters)
         results["full_step"] = {"ms": round(dt * 1e3, 2),
                                 "steps_per_s": round(1.0 / dt, 3)}
         print(f"   full_step: {results['full_step']}", flush=True)
 
-    bwd_sum = sum(r.get("fwd_bwd_ms", r["fwd_ms"]) for k, r in results.items()
-                  if k != "full_step")
+    # merge into the artifact: chunked invocations (--only) accumulate
+    # rows; a shape/tag change resets the file
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = os.path.join(args.out_dir, f"train_stages_{tag}.json")
+    merged = {}
+    if args.only and os.path.exists(path):
+        try:
+            with open(path) as f:
+                old = json.load(f)
+            if (old.get("batch"), old.get("frames"), old.get("tag")) == (B, T, tag):
+                merged = old.get("stages", {})
+        except Exception:
+            pass
+    merged.update(results)
+
+    bwd_sum = sum(r.get("fwd_bwd_ms", r["fwd_ms"]) for k, r in merged.items()
+                  if k != "full_step" and r)
     out = {
         "metric": "train_stage_breakdown", "tag": tag, "batch": B, "frames": T,
         "segment_frames": seg_frames, "backend": jax.default_backend(),
-        "stages": results,
+        "kernels": {"fused_attn": cfg.train.fused_attn,
+                    "fused_wn": cfg.train.fused_wn,
+                    "folded_mrf": cfg.train.folded_mrf},
+        "stages": merged,
         "stage_sum_fwd_bwd_ms": round(bwd_sum, 2),
         "note": "stage fwd_bwd includes grads wrt params+inputs; full_step "
                 "additionally runs D twice (updated-D G loss), both "
                 "optimizers, and shares one G forward via vjp",
     }
-    os.makedirs(args.out_dir, exist_ok=True)
-    path = os.path.join(args.out_dir, f"train_stages_{tag}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "stages"}))

@@ -167,3 +167,27 @@ class TestTrainer:
         metrics = jax.device_get(metrics)
         for k, v in metrics.items():
             assert np.isfinite(v), f"{k} = {v}"
+
+    def test_checkpoint_roundtrips_into_engine(self, workspace):
+        """A Trainer-written checkpoint loads through the public
+        TTSEngine.from_checkpoint path and synthesizes (round-4 directive:
+        the serving format-compat claim, exercised against a REAL trained
+        checkpoint, not a hand-built one)."""
+        from vispeech_tpu.infer.pipeline import TTSEngine
+        from vispeech_tpu.train.loop import Trainer
+        from vispeech_tpu.utils.checkpoint import latest_checkpoint_step
+
+        tmp_path, cfg = workspace
+        if latest_checkpoint_step(cfg.train.save_dir) is None:
+            trainer = Trainer(cfg, data_root=str(tmp_path / "dataset"))
+            trainer.train(max_steps=4)
+        engine = TTSEngine.from_checkpoint(
+            os.path.join(cfg.train.save_dir, "config.json"),
+            cfg.train.save_dir,
+        )
+        out = engine.synthesize(phones=["n", "i2", "h", "ao3"], speaker=0)
+        assert out["sampling_rate"] == cfg.data.sampling_rate
+        assert len(out["audio"]) > 0
+        assert np.isfinite(out["audio"]).all()
+        # prosody contract fields round-trip too
+        assert len(out["f0"]) == 4 and len(out["duration"]) == 4
