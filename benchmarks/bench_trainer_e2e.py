@@ -184,12 +184,22 @@ def main():
     proc = launch(cfg_path, data_root, args.steps, harness_log)
     print(f"[run1] pid {proc.pid}: training to {args.steps}, SIGTERM at "
           f"~step {kill_at}", flush=True)
-    last_progress = (time.time(), -1)
+    def _progress_token():
+        # any train.log growth counts as progress (bucket compiles log
+        # before the first steps/s line appears at log_interval)
+        try:
+            sz = os.path.getsize(os.path.join(save_dir, "train.log"))
+        except OSError:
+            sz = 0
+        return (current_step(save_dir), sz)
+
+    last_progress = (time.time(), (-1, -1))
     while proc.poll() is None:
         time.sleep(5)
-        s = current_step(save_dir)
-        if s > last_progress[1]:
-            last_progress = (time.time(), s)
+        tok = _progress_token()
+        s = tok[0]
+        if tok > last_progress[1]:
+            last_progress = (time.time(), tok)
         elif time.time() - last_progress[0] > stall_timeout:
             print(f"[run1] STALL: no step progress in {stall_timeout}s at "
                   f"step {s}; killing pid {proc.pid}", flush=True)
@@ -201,7 +211,7 @@ def main():
             time.sleep(90)  # let the tunnel's dead connection drain
             proc = launch(cfg_path, data_root, args.steps, harness_log)
             print(f"[run1] relaunched pid {proc.pid}", flush=True)
-            last_progress = (time.time(), s)
+            last_progress = (time.time(), _progress_token())
         if s >= kill_at:
             killed_at = s
             print(f"[run1] step {s} >= {kill_at}: sending SIGTERM "
