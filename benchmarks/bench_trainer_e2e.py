@@ -94,10 +94,11 @@ def prep_corpus(root: str, n_utts: int) -> dict:
         hop_length=512, win_length=2048, spk2id=(("spk0", 0), ("spk1", 1)),
     )
     ds = FilelistDataset(train_list, cfg, data_root=data_root)
-    # prewarm the .spec.npy cache so run-1's first epoch measures the
-    # pipeline, not one-time float64 DFTs of the whole corpus
+    # device-DSP pipeline: training needs only int16 wavs (validated here);
+    # the eval path computes a host spec for the single val utterance
     for u in ds.utterances:
-        ds.load_audio(u)
+        ds.load_wav_int16(u)
+    ds.load_audio(ds.utterances[0])
     frames = np.array([u.n_frames for u in ds.utterances])
     info = {
         "n_utts": len(ds),

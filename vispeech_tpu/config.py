@@ -83,6 +83,15 @@ class TrainConfig:
     # tests/test_models.py::TestFoldedMRFTraining); measured 8.09 vs 7.48
     # steps/s at B=12×1024 on v5e
     folded_mrf: bool = True
+    # TPU-first input pipeline: ship int16 waveforms only and compute the
+    # linear spectrogram ON DEVICE inside the train step (matmul-DFT on the
+    # MXU, ~ms) instead of loading host-computed .spec caches — ~6× less
+    # host→device traffic per batch (spec [T,1025] f32 dominates) and no
+    # host DFT/cache IO at all.  The reference computes spectrograms in its
+    # dataloader workers and caches them beside the wavs
+    # (reference data_utils.py:113-124, mel_processing.py:51) — a
+    # CPU+PCIe-era design; on TPU compute is cheaper than bandwidth.
+    device_dsp: bool = True
 
 
 @dataclass(frozen=True)

@@ -165,6 +165,27 @@ class FilelistDataset:
         sumdur = utt.n_frames
         assert abs(spec.shape[0] - sumdur) < 2, utt.wav_path
         hop = cfg.hop_length
+        return self._crop(spec, audio, sumdur, hop)
+
+    def load_wav_int16(self, utt: Utterance) -> np.ndarray:
+        """Raw int16 samples cropped/padded to exactly Σdur·hop — the
+        device-DSP pipeline's input (no host spectrogram, no cache IO;
+        the train step computes the spec on device, train/step.py)."""
+        cfg = self.cfg
+        data, sr = load_wav(utt.wav_path)
+        if sr != cfg.sampling_rate:
+            raise ValueError(f"{utt.wav_path}: {sr} != {cfg.sampling_rate}")
+        hop = cfg.hop_length
+        n = utt.n_frames * hop
+        # same ±2-frame tolerance the spec path enforces (data_utils.py:79)
+        assert abs(len(data) - n) < 2 * hop, utt.wav_path
+        data = np.asarray(data[:n], np.int16)
+        if len(data) < n:
+            data = np.pad(data, (0, n - len(data)))
+        return data
+
+    @staticmethod
+    def _crop(spec, audio, sumdur, hop):
         if spec.shape[0] > sumdur:
             spec = spec[:sumdur]
             audio = audio[: sumdur * hop]
@@ -276,6 +297,7 @@ def collate(
     frame_budget: int,
     phoneme_pad_multiple: int = PHONEME_PAD_MULTIPLE,
     phoneme_budget: Optional[int] = None,
+    device_dsp: bool = False,
 ):
     """Assemble one padded batch with static shapes.
 
@@ -284,6 +306,11 @@ def collate(
     bucket_phoneme_budgets) else to the next multiple of
     `phoneme_pad_multiple` — bounded compile count.
     Returns a dict of numpy arrays matching train.step.Batch fields.
+
+    ``device_dsp=True`` (cfg.train.device_dsp): no host spectrogram at all —
+    ``spec`` is None and ``wav`` is int16; the train step computes the spec
+    on device.  ~6× less host→device traffic (the f32 spec dominates) and
+    no DFT/cache work on the host.
     """
     cfg = dataset.cfg
     utts = [dataset.utterances[i] for i in indices]
@@ -299,8 +326,9 @@ def collate(
     energy = np.zeros((B, n_ph), np.float32)
     duration = np.zeros((B, n_ph), np.int32)
     ph_lengths = np.zeros(B, np.int32)
-    spec = np.zeros((B, T, cfg.spec_channels), np.float32)
-    wav = np.zeros((B, T * hop, 1), np.float32)
+    spec = (None if device_dsp
+            else np.zeros((B, T, cfg.spec_channels), np.float32))
+    wav = np.zeros((B, T * hop, 1), np.int16 if device_dsp else np.float32)
     spec_lengths = np.zeros(B, np.int32)
     wav_lengths = np.zeros(B, np.int32)
     sid = np.zeros(B, np.int32)
@@ -312,10 +340,15 @@ def collate(
         energy[i, :n] = u.energy
         duration[i, :n] = u.duration
         ph_lengths[i] = n
-        s, a = dataset.load_audio(u)
-        t = s.shape[0]
-        spec[i, :t] = s
-        wav[i, : t * hop, 0] = a
+        if device_dsp:
+            a16 = dataset.load_wav_int16(u)
+            t = u.n_frames
+            wav[i, : t * hop, 0] = a16
+        else:
+            s, a = dataset.load_audio(u)
+            t = s.shape[0]
+            spec[i, :t] = s
+            wav[i, : t * hop, 0] = a
         spec_lengths[i] = t
         wav_lengths[i] = t * hop
         sid[i] = u.sid
@@ -340,6 +373,7 @@ def data_loader(
     epoch: int,
     prefetch: int = 4,
     phoneme_budgets: Optional[dict] = None,
+    device_dsp: bool = False,
 ) -> Iterator[dict]:
     """Background-thread prefetching iterator over collated numpy batches.
 
@@ -356,6 +390,7 @@ def data_loader(
                 q.put(collate(
                     dataset, indices, sampler.buckets[bucket_id],
                     phoneme_budget=(phoneme_budgets or {}).get(bucket_id),
+                    device_dsp=device_dsp,
                 ))
         except BaseException as e:  # re-raised on the consumer thread below
             failure.append(e)

@@ -177,6 +177,7 @@ class Trainer:
         for raw in data_loader(
             self.train_set, self.sampler, epoch,
             phoneme_budgets=self.phoneme_budgets,
+            device_dsp=self.cfg.train.device_dsp,
         ):
             yield Batch(**raw)
 
@@ -293,7 +294,10 @@ class Trainer:
                         self._save(step)
                         self._checkpointer.wait()  # durable before returning
                         return
-                    shape = (batch.spec.shape[1], batch.phonemes.shape[1])
+                    shape = (
+                        batch.wav.shape[1] // self.cfg.data.hop_length,
+                        batch.phonemes.shape[1],
+                    )
                     if shape not in self._shapes_seen:
                         self._shapes_seen.add(shape)
                         self.logger.info(

@@ -43,7 +43,7 @@ model code.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,25 +51,30 @@ import optax
 from flax import struct
 
 from vispeech_tpu.config import Config
-from vispeech_tpu.dsp import mel_spectrogram, spec_to_mel
+from vispeech_tpu.dsp import mel_spectrogram, spec_to_mel, spectrogram
 from vispeech_tpu.models import MultiPeriodDiscriminator, Synthesizer
-from vispeech_tpu.ops.masking import grad_global_norm, slice_segments
+from vispeech_tpu.ops.masking import grad_global_norm, length_mask, slice_segments
 from vispeech_tpu.train import losses as L
 
 Array = jax.Array
 
 
 class Batch(NamedTuple):
-    """One padded training batch (data layout: [B, ...], time-major)."""
+    """One padded training batch (data layout: [B, ...], time-major).
+
+    Under the device-DSP pipeline (cfg.train.device_dsp) `spec` is None and
+    `wav` carries int16 samples; the train step computes the masked linear
+    spectrogram on device (dsp.spectrogram matmul-DFT) — see config.py.
+    """
 
     phonemes: Array         # [B, N] int32
     phoneme_lengths: Array  # [B]
     f0: Array               # [B, N] Hz
     energy: Array           # [B, N]
     duration: Array         # [B, N] frames
-    spec: Array             # [B, T, spec_channels]
+    spec: Optional[Array]   # [B, T, spec_channels] f32, or None (device DSP)
     spec_lengths: Array     # [B]
-    wav: Array              # [B, T*hop, 1]
+    wav: Array              # [B, T*hop, 1] f32 in [-1,1], or int16
     wav_lengths: Array      # [B]
     sid: Array              # [B]
 
@@ -250,6 +255,20 @@ def make_train_step(
         )
 
     def train_step(state: TrainState, batch: Batch):
+        # device-DSP pipeline: int16 wav in, masked f32 spectrogram computed
+        # here on the MXU (padded region forced to exact zeros, matching the
+        # host collate's zero padding)
+        if batch.wav.dtype == jnp.int16:
+            batch = batch._replace(
+                wav=batch.wav.astype(jnp.float32) / d.max_wav_value)
+        if batch.spec is None:
+            spec = spectrogram(
+                batch.wav[..., 0], d.filter_length, d.sampling_rate,
+                d.hop_length, d.win_length,
+            )
+            spec = spec * length_mask(batch.spec_lengths, spec.shape[1])
+            batch = batch._replace(spec=spec)
+
         rng, step_rng = jax.random.split(state.rng)
         rngs = {
             "sample": jax.random.fold_in(step_rng, 0),
