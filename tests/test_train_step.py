@@ -216,3 +216,31 @@ def test_device_dsp_matches_host_spec_path():
         a, b = float(m_host[k]), float(m_dev[k])
         # int16 quantization of the wav perturbs mel/disc losses slightly
         assert abs(a - b) <= 0.05 * max(abs(a), 1.0), (k, a, b)
+
+
+def test_train_step_bf16_dec_body_tail_f32():
+    """dec_body stage: decoder computes in bf16 but conv_post/tanh stay f32
+    (params uncast + activation up-cast), so the output waveform is
+    continuous-valued — the bf16-collapse fix candidate."""
+    import dataclasses
+
+    from vispeech_tpu.train.step import g_param_cast
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        train=dataclasses.replace(
+            TINY_CFG.train, fp16_run=True, bf16_only=("dec_body",)
+        ),
+    )
+    batch = make_batch()
+    state, mg, md = create_train_state(cfg, jax.random.PRNGKey(0), 64, batch)
+    gp = g_param_cast(cfg)(state.params_g["params"])
+    post = {a.dtype for a in jax.tree.leaves(gp["dec"]["conv_post"])}
+    body = {a.dtype for a in jax.tree.leaves(gp["dec"]["up_0"])}
+    assert post == {jnp.dtype(jnp.float32)}
+    assert body == {jnp.dtype(jnp.bfloat16)}
+
+    step = jax.jit(make_train_step(cfg, mg, md))
+    _, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(jax.device_get(v)), k

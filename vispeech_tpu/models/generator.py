@@ -36,7 +36,7 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(
         self, x: Array, g: Optional[Array] = None, fused: bool = False,
-        folded: Optional[bool] = None,
+        folded: Optional[bool] = None, tail_f32: bool = False,
     ) -> Array:
         """``fused=True`` runs each MRF stage as one Pallas kernel
         (ops/pallas/mrf_stage.py) — inference-only (no VJP); identical
@@ -115,6 +115,14 @@ class Generator(nn.Module):
                     y = b(x)
                     acc = y if acc is None else acc + y
                 x = acc / num_kernels
+        if tail_f32:
+            # bf16-decoder mode: the final conv + tanh run in f32 so the
+            # output waveform is continuous-valued — a bf16-quantized
+            # waveform (7 mantissa bits, ≈-48 dB noise floor) hands the f32
+            # discriminator a trivial real/fake separator and the GAN rails
+            # (benchmarks/artifacts/bf16_diag/stage_matrix.json: dec-only
+            # bf16 collapses @770 while every encoder stage converges)
+            x = x.astype(jnp.float32)
         x = leaky_relu(x, 0.01)  # torch F.leaky_relu default (models.py:286)
         x = Conv1d(1, 7, padding=3, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)  # [B, T*prod(rates), 1]

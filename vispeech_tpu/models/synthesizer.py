@@ -24,6 +24,7 @@ TPU-first departures:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -454,7 +455,12 @@ class Synthesizer(nn.Module):
         z_slice, ids_slice = rand_slice_segments(
             z, spec_lengths, self.segment_size, self.make_rng("sample")
         )
-        o = self._stage("dec", self.dec, z_slice, g=g)
+        if "dec_body" in self.bf16_stages:
+            o = self._stage(
+                "dec_body", partial(self.dec, tail_f32=True), z_slice, g=g
+            )
+        else:
+            o = self._stage("dec", self.dec, z_slice, g=g)
         return (
             o, l_length, l_pitch, l_energy, ids_slice, frame_mask, y_mask,
             (z, z_p, m_p, logs_p, m_q, logs_q),

@@ -77,15 +77,17 @@ def fold_conv_weights(
 
 def _conv_folded(x: Array, wf: Array, bf: Array, pad: Tuple[int, int]) -> Array:
     # Weights are folded in param dtype (f32) then cast to the activation
-    # dtype, with f32 accumulation — mirrors the fused Pallas MRF kernel
-    # (ops/pallas/mrf_stage.py) so the bf16 serving path is exact-policy
-    # equivalent.  (Round-1 bug: uncast f32 weights crashed bf16 serving.)
+    # dtype — mirrors the fused Pallas MRF kernel (ops/pallas/mrf_stage.py)
+    # so the bf16 serving path is policy-equivalent.  The conv runs dtype-
+    # matched WITHOUT preferred_element_type: the MXU accumulates f32
+    # internally for bf16 operands anyway, and a f32-preferred output makes
+    # the conv TRANSPOSE mix dtypes (bf16 operand × f32 cotangent —
+    # TypeError under grad; hit by the bf16 dec_body training path).
     y = jax.lax.conv_general_dilated(
         x, wf.astype(x.dtype), window_strides=(1,), padding=(pad,),
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
     )
-    return (y + bf.astype(jnp.float32)).astype(x.dtype)
+    return y + bf.astype(x.dtype)
 
 
 def mrf_stage_folded(

@@ -98,6 +98,9 @@ STAGE_PARAM_KEYS = {
     "enc_q": ("enc_q",),
     "flow": ("flow",),
     "dec": ("dec",),
+    # decoder with an f32 tail: conv_post(+tanh) stay f32 so the output
+    # waveform is continuous-valued (see Generator.__call__ tail_f32)
+    "dec_body": ("dec",),
 }
 
 
@@ -113,18 +116,29 @@ def g_param_cast(cfg: Config):
         only_keys = frozenset(
             k for s in bf16_only for k in STAGE_PARAM_KEYS.get(s, (s,))
         )
+        dec_tail_f32 = "dec_body" in bf16_only
 
         def _cast_module(k: str) -> bool:
             return k in only_keys
     else:
+        dec_tail_f32 = False
+
         def _cast_module(k: str) -> bool:
             return full_scope or k != "dec"
 
     def cast(params):
-        return {
-            k: (_cast_floats(v, jnp.bfloat16) if _cast_module(k) else v)
-            for k, v in params.items()
-        }
+        out = {}
+        for k, v in params.items():
+            if not _cast_module(k):
+                out[k] = v
+            elif k == "dec" and dec_tail_f32:
+                out[k] = {
+                    kk: (vv if kk == "conv_post" else _cast_floats(vv, jnp.bfloat16))
+                    for kk, vv in v.items()
+                }
+            else:
+                out[k] = _cast_floats(v, jnp.bfloat16)
+        return out
 
     return cast
 
