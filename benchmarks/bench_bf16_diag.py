@@ -174,6 +174,15 @@ def main():
     p.add_argument("--stages", default=None,
                    help="'+'-joined subset for --mode stages "
                         "(default: each single stage in turn)")
+    p.add_argument("--trace-scopes", default="fp32,bf16_stable,bf16_full",
+                   help="comma subset for --mode trace")
+    p.add_argument("--fused", action="store_true",
+                   help="run with the fused training kernels ON "
+                        "(attention/WN/folded-MRF) instead of the XLA paths "
+                        "— isolates kernel-vs-precision interactions")
+    p.add_argument("--probe", action="store_true",
+                   help="enable capture_intermediates amplitude probes in "
+                        "trace mode (XLA paths only)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--log-every", type=int, default=10)
@@ -197,23 +206,24 @@ def main():
     def cfg_for(fp16, bf16_only=(), scope="stable"):
         cfg = flagship_config(args.workspace, fp16, args.batch, args.lr,
                               bf16_scope=scope,
-                              fused_attn=False)  # XLA paths: clean capture
+                              fused_attn=args.fused)
         return dataclasses.replace(
             cfg, train=dataclasses.replace(
                 cfg.train, bf16_only=tuple(bf16_only),
-                fused_wn=False, folded_mrf=False,
+                fused_wn=args.fused, folded_mrf=args.fused,
             )
         )
 
+    fused_sfx = "_fused" if args.fused else ""
     if args.mode == "stages":
         stage_sets = ([tuple(args.stages.split("+"))] if args.stages
                       else [(s,) for s in ALL_STAGES])
         results = []
         for ss in stage_sets:
-            tag = "only_" + "+".join(ss)
+            tag = "only_" + "+".join(ss) + fused_sfx
             results.append(run_one(tag, cfg_for(True, bf16_only=ss),
                                    args.workspace, args.steps, args.log_every))
-            path = os.path.join(args.out_dir, "stage_matrix.json")
+            path = os.path.join(args.out_dir, f"stage_matrix{fused_sfx}.json")
             with open(path, "w") as f:
                 json.dump({"mode": "stages", "steps": args.steps,
                            "results": results}, f)
@@ -223,11 +233,16 @@ def main():
             print(f"  {r['tag']:24s} mel x{r['mel_ratio']:8.3f} "
                   f"collapsed={r['collapsed']} @{r['collapse_step']}")
     else:
-        for tag, cfg in (("fp32", cfg_for(False)),
-                         ("bf16_stable", cfg_for(True)),
-                         ("bf16_full", cfg_for(True, scope="full"))):
-            out = run_one(tag, cfg, args.workspace, args.steps,
-                          args.log_every, probe_every=args.probe_every)
+        all_scopes = {
+            "fp32": lambda: cfg_for(False),
+            "bf16_stable": lambda: cfg_for(True),
+            "bf16_full": lambda: cfg_for(True, scope="full"),
+        }
+        for name in args.trace_scopes.split(","):
+            tag = name + fused_sfx
+            out = run_one(tag, all_scopes[name](), args.workspace, args.steps,
+                          args.log_every,
+                          probe_every=args.probe_every if args.probe else 0)
             path = os.path.join(args.out_dir, f"trace_{tag}.json")
             with open(path, "w") as f:
                 json.dump(out, f)

@@ -244,3 +244,33 @@ def test_train_step_bf16_dec_body_tail_f32():
     _, metrics = step(state, batch)
     for k, v in metrics.items():
         assert np.isfinite(jax.device_get(v)), k
+
+
+def test_tail_f32_scope_resolves_and_runs():
+    """bf16_scope='tail_f32' (the validated converging bf16 policy) resolves
+    to the full stage set with dec_body and runs a finite step — the
+    regression guard for the shipped reduced-precision policy."""
+    import dataclasses
+
+    from vispeech_tpu.train.step import g_param_cast
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        train=dataclasses.replace(TINY_CFG.train, fp16_run=True),
+    )
+    assert cfg.train.bf16_scope == "tail_f32"  # default scope
+    stages = cfg.train.effective_bf16_stages()
+    assert set(stages) == {"enc_p", "heads", "fpn", "project", "enc_q",
+                           "flow", "dec_body"}
+    batch = make_batch()
+    state, mg, md = create_train_state(cfg, jax.random.PRNGKey(0), 64, batch)
+    assert mg.bf16_stages == stages
+    gp = g_param_cast(cfg)(state.params_g["params"])
+    assert {a.dtype for a in jax.tree.leaves(gp["dec"]["conv_post"])} == {
+        jnp.dtype(jnp.float32)}
+    assert {a.dtype for a in jax.tree.leaves(gp["enc_q"])} == {
+        jnp.dtype(jnp.bfloat16)}
+    step = jax.jit(make_train_step(cfg, mg, md))
+    _, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(jax.device_get(v)), k

@@ -50,16 +50,37 @@ class TrainConfig:
     # [T,T]/gate traffic in VMEM with f32 math, so f32+fused is 7.48 steps/s
     # vs 7.89 for the diverging bf16 (B=12×1024) — hence default False.
     fp16_run: bool = False
-    # bf16 cast scope when fp16_run is enabled (A/B + research):
-    # "stable" = encoder-side only (decoder + discriminators stay f32);
-    # "full" = everything, the reference autocast scope.
-    bf16_scope: str = "stable"
+    # bf16 cast scope when fp16_run is enabled:
+    # "tail_f32" (default) = everything in bf16 EXCEPT the decoder's final
+    #   conv_post+tanh (and the discriminators) — the measured converging
+    #   policy: round-4 stage-localization runs showed the GAN collapse
+    #   enters through the bf16-quantized output waveform (decoder-only
+    #   bf16 collapses @770; with the f32 tail the full bf16 generator
+    #   converges at flagship, mel ×0.156 over 4000 steps —
+    #   benchmarks/artifacts/bf16_diag/stage_matrix*.json);
+    # "stable" = encoder-side only (decoder + discriminators f32; round-3
+    #   scope — collapses slowly, kept for A/B);
+    # "full" = everything, the reference autocast scope (collapses fast).
+    bf16_scope: str = "tail_f32"
     # Diagnostic cast granularity: when non-empty (and fp16_run), cast ONLY
     # these top-level generator modules to bf16 and keep everything else
     # (incl. discriminators) f32 — used to localize which stage triggers the
     # bf16 GAN collapse (benchmarks/bench_bf16_diag.py).  Overrides
     # bf16_scope's keep-list.
     bf16_only: Tuple[str, ...] = ()
+
+    def effective_bf16_stages(self) -> Tuple[str, ...]:
+        """Stage-cast set the precision policy resolves to (Synthesizer
+        bf16_stages + train-step param casts); empty = whole-graph scopes
+        ("stable"/"full" legacy behavior)."""
+        if not self.fp16_run:
+            return ()
+        if self.bf16_only:
+            return tuple(self.bf16_only)
+        if self.bf16_scope == "tail_f32":
+            return ("enc_p", "heads", "fpn", "project", "enc_q", "flow",
+                    "dec_body")
+        return ()
     lr_decay: float = 0.999875
     segment_size: int = 16384
     init_lr_ratio: float = 1.0

@@ -304,7 +304,7 @@ class Synthesizer(nn.Module):
             train_fused_wn=cfg.train.fused_wn,
             train_fused_attn=cfg.train.fused_attn,
             train_folded_mrf=cfg.train.folded_mrf,
-            bf16_stages=tuple(cfg.train.bf16_only),
+            bf16_stages=cfg.train.effective_bf16_stages(),
         )
 
     @classmethod

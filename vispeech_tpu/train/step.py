@@ -20,24 +20,21 @@ no GradScaler — bf16 has fp32 range.  LayerNorm statistics, softmax, and
 weight-norm ‖v‖ accumulate in f32 internally (ops/layers.py,
 ops/attention.py), matching torch autocast's fp32-list.
 
-Scope ``"stable"`` keeps the HiFi-GAN decoder and the discriminators in f32
-and casts only the encoder-side stages; ``"full"`` casts everything (the
-reference autocast scope).  Measured on TPU at the flagship architecture
-(benchmarks/artifacts/convergence_*.json, 1500-step overfit):
-
-    fp32   + XLA attention    converges  (mel ×0.50, D healthy)
-    fp32   + fused attention  converges  (mel ×0.47, D healthy)
-    bf16 full  + XLA          collapses @ ~120  (tanh rails, D → 0)
-    bf16 stable + XLA         collapses
-    bf16 stable + fused       collapses @ ~1450
-
-bf16 anywhere in the XLA encoder graph eventually triggers the amplitude
-runaway; and with the fused attention/WN kernels doing their internal math
-in f32-in-VMEM, bf16 only buys 7.89 vs 7.48 steps/s (B=12×1024) — so
-``fp16_run`` defaults OFF and the speed comes from the kernels.  The bf16
-scopes remain selectable for A/B; the f32 decoder params meet bf16 inputs
-via JAX type promotion, so scoped casts compose without explicit casts in
-model code.
+Scope ``"tail_f32"`` (default; round-4 root-cause result) casts the whole
+generator to bf16 via per-stage boundary casts EXCEPT the decoder's final
+conv_post+tanh: the round-4 stage-localization matrix
+(benchmarks/artifacts/bf16_diag/stage_matrix*.json, flagship overfits on
+TPU) showed every encoder-side stage alone in bf16 CONVERGES while the
+decoder alone in bf16 COLLAPSES (@770) — the collapse enters through the
+bf16-quantized output waveform (7-bit mantissa ≈ −48 dB noise floor the
+f32 discriminator separates trivially), and with the f32 tail the full
+bf16 generator converges (mel ×0.156 over 4000 steps, matching f32).
+Legacy whole-graph scopes remain for A/B: ``"stable"`` (round-3 guess —
+decoder+D f32, encoder bf16; collapses slowly) and ``"full"`` (everything,
+the reference autocast scope; collapses fast).  ``fp16_run`` still
+defaults OFF pending production-shape bf16 convergence evidence; the
+shipped speed comes from the fused kernels, which do their internal math
+in f32-in-VMEM either way.
 """
 
 from __future__ import annotations
@@ -111,7 +108,7 @@ def g_param_cast(cfg: Config):
     if not cfg.train.fp16_run:
         return lambda p: p
     full_scope = cfg.train.bf16_scope == "full"
-    bf16_only = tuple(cfg.train.bf16_only)
+    bf16_only = cfg.train.effective_bf16_stages()
     if bf16_only:
         only_keys = frozenset(
             k for s in bf16_only for k in STAGE_PARAM_KEYS.get(s, (s,))
@@ -245,7 +242,7 @@ def make_train_step(
     # bf16_only (diagnostic): cast ONLY the listed top-level generator
     # modules, everything else f32 — localizes the collapse trigger.
     full_scope = cfg.train.bf16_scope == "full"
-    bf16_only = tuple(cfg.train.bf16_only)
+    bf16_only = cfg.train.effective_bf16_stages()
     _g_cast = g_param_cast(cfg)
     d_dtype = (compute_dtype if full_scope and not bf16_only else jnp.float32)
 
