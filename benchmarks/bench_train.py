@@ -99,7 +99,9 @@ def main():
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
             cfg.train, fused_wn=args.fused_wn, fp16_run=args.bf16,
-            bf16_scope="full" if args.bf16_full else "stable",
+            # default scope comes from config (tail_f32 — the converging
+            # policy); --bf16-full selects the legacy everything-bf16 A/B
+            bf16_scope="full" if args.bf16_full else cfg.train.bf16_scope,
             fused_attn=args.fused_attn, folded_mrf=args.folded_mrf,
         )
     )

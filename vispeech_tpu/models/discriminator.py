@@ -132,16 +132,23 @@ class MultiPeriodDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, y: Array, y_hat: Array):
-        """Returns (real_logits, fake_logits, real_fmaps, fake_fmaps)."""
+        """Returns (real_logits, fake_logits, real_fmaps, fake_fmaps).
+
+        Real and fake run through each sub-discriminator as ONE
+        concatenated batch (identical math; the reference calls each
+        discriminator twice, models.py:374-380) — halves the conv dispatch
+        count and doubles the batch the MXU sees; the discriminator is the
+        measured top training stage (train_stages_fp32.json)."""
+        B = y.shape[0]
+        both = jnp.concatenate([y, y_hat], axis=0)
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         discs = [DiscriminatorS(name="disc_s")] + [
             DiscriminatorP(p, name=f"disc_p{p}") for p in self.periods
         ]
         for d in discs:
-            r_logit, r_fmap = d(y)
-            g_logit, g_fmap = d(y_hat)
-            y_d_rs.append(r_logit)
-            y_d_gs.append(g_logit)
-            fmap_rs.append(r_fmap)
-            fmap_gs.append(g_fmap)
+            logit, fmap = d(both)
+            y_d_rs.append(logit[:B])
+            y_d_gs.append(logit[B:])
+            fmap_rs.append([f[:B] for f in fmap])
+            fmap_gs.append([f[B:] for f in fmap])
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
