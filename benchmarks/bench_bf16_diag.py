@@ -180,6 +180,8 @@ def main():
                    help="run with the fused training kernels ON "
                         "(attention/WN/folded-MRF) instead of the XLA paths "
                         "— isolates kernel-vs-precision interactions")
+    p.add_argument("--bf16-disc", action="store_true",
+                   help="discriminators in bf16 too (cfg.train.bf16_disc)")
     p.add_argument("--probe", action="store_true",
                    help="enable capture_intermediates amplitude probes in "
                         "trace mode (XLA paths only)")
@@ -211,10 +213,12 @@ def main():
             cfg, train=dataclasses.replace(
                 cfg.train, bf16_only=tuple(bf16_only),
                 fused_wn=args.fused, folded_mrf=args.fused,
+                bf16_disc=args.bf16_disc,
             )
         )
 
-    fused_sfx = "_fused" if args.fused else ""
+    fused_sfx = ("_fused" if args.fused else "") + (
+        "_d16" if args.bf16_disc else "")
     if args.mode == "stages":
         stage_sets = ([tuple(args.stages.split("+"))] if args.stages
                       else [(s,) for s in ALL_STAGES])

@@ -74,6 +74,11 @@ def main():
         help="everything-bf16 scope (A/B; default 'stable' keeps dec+D f32)",
     )
     ap.add_argument(
+        "--bf16-disc", action="store_true",
+        help="discriminators in bf16 (cfg.train.bf16_disc; composes with "
+             "--bf16 tail_f32)",
+    )
+    ap.add_argument(
         "--no-fused-attn", dest="fused_attn", action="store_false",
         default=True,
         help="XLA attention in training (A/B against the fused custom-VJP "
@@ -102,6 +107,7 @@ def main():
             # default scope comes from config (tail_f32 — the converging
             # policy); --bf16-full selects the legacy everything-bf16 A/B
             bf16_scope="full" if args.bf16_full else cfg.train.bf16_scope,
+            bf16_disc=args.bf16_disc,
             fused_attn=args.fused_attn, folded_mrf=args.folded_mrf,
         )
     )

@@ -69,6 +69,13 @@ class TrainConfig:
     # bf16_scope's keep-list.
     bf16_only: Tuple[str, ...] = ()
 
+    # Run the discriminators in bf16 (with fp16_run). Mechanism-1 of the
+    # bf16 collapse (benchmarks/artifacts/bf16_diag/ANALYSIS.md) was the
+    # ASYMMETRY of a quantized fake vs continuous real waveform; a bf16 D
+    # quantizes both inputs identically at its first conv, so this composes
+    # with tail_f32 — validated by its own convergence run before shipping.
+    bf16_disc: bool = False
+
     def effective_bf16_stages(self) -> Tuple[str, ...]:
         """Stage-cast set the precision policy resolves to (Synthesizer
         bf16_stages + train-step param casts); empty = whole-graph scopes

@@ -244,7 +244,11 @@ def make_train_step(
     full_scope = cfg.train.bf16_scope == "full"
     bf16_only = cfg.train.effective_bf16_stages()
     _g_cast = g_param_cast(cfg)
-    d_dtype = (compute_dtype if full_scope and not bf16_only else jnp.float32)
+    d_dtype = jnp.float32
+    if cfg.train.fp16_run and (
+        (full_scope and not bf16_only) or cfg.train.bf16_disc
+    ):
+        d_dtype = compute_dtype
 
     def g_forward(params_g, batch: Batch, rngs):
         return model_g.apply(
