@@ -39,16 +39,16 @@ class TrainConfig:
     eps: float = 1e-9
     batch_size: int = 12
     # Mixed precision.  The reference autocasts its whole step to fp16 with
-    # a GradScaler (train.py:124,168,207); on TPU the analogue is bf16 — but
-    # flagship-scale overfit runs on the real chip
-    # (benchmarks/artifacts/convergence_*.json) show bf16 anywhere in the
-    # XLA encoder graph destabilizes the GAN (output amplitude ratchets up
-    # until the decoder tanh rails and D wins permanently): everything-bf16
-    # collapses by step ~120, and the "stable" scope (decoder+D kept f32)
-    # collapses by ~1450, while f32 converges (mel halves, D healthy).
-    # Speed no longer needs bf16: the fused attention/WN kernels keep the
-    # [T,T]/gate traffic in VMEM with f32 math, so f32+fused is 7.48 steps/s
-    # vs 7.89 for the diverging bf16 (B=12×1024) — hence default False.
+    # a GradScaler (train.py:124,168,207); on TPU the analogue is bf16.
+    # Round 4 root-caused the earlier bf16 GAN collapse (the bf16-quantized
+    # output waveform hands the discriminator a trivial real/fake separator
+    # — benchmarks/artifacts/bf16_diag/ANALYSIS.md) and shipped a CONVERGING
+    # policy: bf16_scope="tail_f32" (+ optional bf16_disc), flagship overfit
+    # mel ×0.154-0.157 (= f32) at 10.5-11.4 steps/s vs 10.1 f32 (B=12×1024,
+    # v5e, shipped kernels).  Default remains False until bf16 convergence
+    # is also demonstrated at production shape through the Trainer
+    # (fp32 e2e evidence: benchmarks/artifacts/trainer_e2e.json); enable
+    # with fp16_run=true for the measured-fastest converging configuration.
     fp16_run: bool = False
     # bf16 cast scope when fp16_run is enabled:
     # "tail_f32" (default) = everything in bf16 EXCEPT the decoder's final
