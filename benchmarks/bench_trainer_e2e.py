@@ -46,7 +46,8 @@ LOG_RE = re.compile(
 )
 
 
-def write_config(root: str, save_dir: str, batch_size: int) -> str:
+def write_config(root: str, save_dir: str, batch_size: int,
+                 bf16: bool = False, bf16_disc: bool = False) -> str:
     """Flagship config (reference configs/config.json architecture) over the
     synthetic corpus."""
     import dataclasses
@@ -57,7 +58,8 @@ def write_config(root: str, save_dir: str, batch_size: int) -> str:
 
     cfg = Config(
         train=TrainConfig(
-            seed=0, batch_size=batch_size, fp16_run=False,
+            seed=0, batch_size=batch_size, fp16_run=bf16,
+            bf16_disc=bf16_disc,
             segment_size=16384, learning_rate=2e-4,
             log_interval=25, eval_interval=500, epochs=100_000,
             save_dir=save_dir,
@@ -158,6 +160,10 @@ def main():
     p.add_argument("--out-dir", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts"))
     p.add_argument("--keep-workspace", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="train under the bf16 tail_f32 policy (+bf16 D) — "
+                        "production-shape validation of the round-4 "
+                        "reduced-precision policy")
     args = p.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -169,7 +175,8 @@ def main():
         shutil.rmtree(save_dir)
 
     corpus = prep_corpus(root, args.utts)
-    cfg_path = write_config(root, save_dir, args.batch)
+    cfg_path = write_config(root, save_dir, args.batch,
+                            bf16=args.bf16, bf16_disc=args.bf16)
     data_root = os.path.join(root, "dataset")
     harness_log = os.path.join(root, "trainer_stdout.log")
 
@@ -304,9 +311,13 @@ def main():
         f"({corpus['frames_min']}–{corpus['frames_max']} frames): "
         f"mel {mels[0]:.1f} → {mels[-1]:.1f}")
     fig.tight_layout()
-    fig.savefig(os.path.join(args.out_dir, "trainer_e2e_loss.png"), dpi=100)
+    fig.savefig(os.path.join(
+        args.out_dir,
+        "trainer_e2e_bf16_loss.png" if args.bf16 else "trainer_e2e_loss.png",
+    ), dpi=100)
 
-    out_path = os.path.join(args.out_dir, "trainer_e2e.json")
+    out_path = os.path.join(
+        args.out_dir, "trainer_e2e_bf16.json" if args.bf16 else "trainer_e2e.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "loss_curve"},
