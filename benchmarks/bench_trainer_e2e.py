@@ -286,7 +286,9 @@ def main():
         if sps1 else None,
         "steps_per_sec_run2_median": round(float(np.median(sps2)), 2)
         if sps2 else None,
-        "steps_by_bucket": stats2["steps_by_bucket"],
+        # host dispatch backpressure only — NOT device step times
+        "dispatch_ms_by_bucket": stats2.get(
+            "dispatch_ms_by_bucket", stats2.get("steps_by_bucket")),
         "loss_curve": all_mel,
     }
 

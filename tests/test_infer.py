@@ -292,7 +292,10 @@ class TestBatchPlanning:
     def test_bucket_rounding_above_range(self):
         from vispeech_tpu.infer.batching import pick_bucket
 
-        assert pick_bucket(1401) == 2800  # rounds up in multiples of last
+        # above the table: 256-frame granule, not multiples of the last
+        # bucket (1401 -> 1536, not 2800 with ~50% padding)
+        assert pick_bucket(1401) == 1536
+        assert pick_bucket(2800) == 2816
 
 
 class TestSynthesizeBatch:

@@ -79,7 +79,8 @@ class TrainConfig:
     def effective_bf16_stages(self) -> Tuple[str, ...]:
         """Stage-cast set the precision policy resolves to (Synthesizer
         bf16_stages + train-step param casts); empty = whole-graph scopes
-        ("stable"/"full" legacy behavior)."""
+        ("stable"/"full" legacy behavior).  Unknown scopes raise — a typo
+        must not silently degrade to the known-collapsing legacy cast."""
         if not self.fp16_run:
             return ()
         if self.bf16_only:
@@ -87,6 +88,10 @@ class TrainConfig:
         if self.bf16_scope == "tail_f32":
             return ("enc_p", "heads", "fpn", "project", "enc_q", "flow",
                     "dec_body")
+        if self.bf16_scope not in ("stable", "full"):
+            raise ValueError(
+                f"unknown bf16_scope {self.bf16_scope!r} "
+                "(expected 'tail_f32', 'stable', or 'full')")
         return ()
     lr_decay: float = 0.999875
     segment_size: int = 16384

@@ -175,6 +175,13 @@ class FilelistDataset:
         data, sr = load_wav(utt.wav_path)
         if sr != cfg.sampling_rate:
             raise ValueError(f"{utt.wav_path}: {sr} != {cfg.sampling_rate}")
+        if data.dtype != np.int16:
+            # float/24-bit wavs must not be silently truncated to int16
+            # (floats in [-1,1] would become all-zero samples); the host
+            # load_audio path handles those — require 16-bit PCM here
+            raise ValueError(
+                f"{utt.wav_path}: device-DSP pipeline requires 16-bit PCM "
+                f"wavs, got {data.dtype}")
         hop = cfg.hop_length
         n = utt.n_frames * hop
         # same ±2-frame tolerance the spec path enforces (data_utils.py:79)

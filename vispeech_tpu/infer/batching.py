@@ -39,8 +39,10 @@ def pick_bucket(n_frames: int, buckets: Sequence[int] = SERVING_BUCKETS) -> int:
     for b in buckets:
         if n_frames <= b:
             return b
-    m = buckets[-1]
-    return ((n_frames + m - 1) // m) * m
+    # above the table: round to a small granule (256 frames), not to a
+    # multiple of the last bucket — a 1401-frame request must land at
+    # 1536, not 2800 (≈50% padding)
+    return ((n_frames + 255) // 256) * 256
 
 
 @dataclass(frozen=True)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vispeech_tpu.config import Config, load_config
-from vispeech_tpu.data.dataset import DEFAULT_BUCKETS, numpy_spectrogram
+from vispeech_tpu.data.dataset import numpy_spectrogram
 from vispeech_tpu.models import Synthesizer
 from vispeech_tpu.ops.policy import default_serving_policy
 from vispeech_tpu.text import cleaned_text_to_sequence, text_to_phones
@@ -67,10 +67,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_bucket(n: int) -> int:
-    for b in DEFAULT_BUCKETS:
-        if n <= b:
-            return b
-    return _round_up(n, 256)
+    # ONE bucket scheme for the whole engine: single-request synthesize()
+    # and synthesize_batch() share infer/batching.py's serving buckets so
+    # the same request length never compiles two program families
+    from vispeech_tpu.infer.batching import pick_bucket
+
+    return pick_bucket(n)
 
 
 class TTSEngine:
@@ -251,8 +253,12 @@ class TTSEngine:
         hop = self.cfg.data.hop_length
         base_key = jax.random.PRNGKey(seed)
         for plan_idx, plan in enumerate(plans):
-            n_pad = _round_up(
-                max(n_list[i] for i in plan.indices), _PH_PAD)
+            # same phoneme-pad rule as _encode (clamped by max_phonemes so
+            # batch and single paths share compiled shapes)
+            n_pad = min(
+                _round_up(max(n_list[i] for i in plan.indices), _PH_PAD),
+                self.max_phonemes,
+            )
             B = plan.tier
             ph = np.zeros((B, n_pad), np.int32)
             lens = np.ones((B,), np.int32)

@@ -133,10 +133,15 @@ class Trainer:
         # preemption flag: set by request_stop() / SIGTERM during train()
         self._stop_requested = False
         self._profiling = False
-        # per-step (frame_bucket, wall_seconds) pairs — dispatch wall time;
-        # with the async pipeline saturated the median tracks device step
-        # time (benchmarks/bench_trainer_e2e.py aggregates per bucket)
-        self.step_times: list = []
+        # per-step (frame_bucket, wall_seconds) pairs.  NOTE: these are
+        # async DISPATCH times (host-side backpressure), NOT device step
+        # times — the host only truly syncs at log_interval device_gets,
+        # so per-bucket medians here are bucket-independent queue numbers.
+        # Real throughput comes from the logged steps/s.  Bounded deque so
+        # multi-day runs don't grow host memory.
+        from collections import deque
+
+        self.step_times: "deque" = deque(maxlen=50_000)
 
     # ------------------------------------------------------------------ utils
 
@@ -235,14 +240,12 @@ class Trainer:
             "global_step": self.global_step,
             "compiled_shapes": sorted(self._shapes_seen),
             "n_compiles": len(self._shapes_seen),
-            "steps_by_bucket": {
+            # dispatch (host backpressure) times — NOT device step times;
+            # see step_times. Kept for host-overhead diagnostics only.
+            "dispatch_ms_by_bucket": {
                 str(k): {
                     "n": len(v),
                     "median_ms": round(1e3 * float(np.median(v)), 2),
-                    # steady state: drop each bucket's first (compile) step
-                    "steady_median_ms": round(
-                        1e3 * float(np.median(sorted(v)[: max(len(v) - 1, 1)])), 2
-                    ),
                 }
                 for k, v in sorted(by_bucket.items())
             },
