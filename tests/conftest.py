@@ -8,19 +8,25 @@ it at import, so the platform is forced via jax.config, which wins.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# VISPEECH_TEST_PLATFORM=tpu runs the suite against the real chip —
+# required for the TPU-only tier (in-kernel dropout tests etc. skip on
+# CPU: no interpreter PRNG lowering).  Default: 8 virtual CPU devices.
+_TEST_PLATFORM = os.environ.get("VISPEECH_TEST_PLATFORM", "cpu")
+if _TEST_PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 # the CPU AOT loader logs a (harmless, enormous) machine-feature banner per
 # cache hit; silence C++ ERROR-and-below logs for the test run
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _TEST_PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the GAN train step / trainer tests spend
@@ -33,7 +39,8 @@ if not os.environ.get("VISPEECH_NO_JAX_CACHE"):
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-assert jax.devices()[0].platform == "cpu", jax.devices()
+if _TEST_PLATFORM == "cpu":
+    assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # ---------------------------------------------------------------- smoke tier
 # `pytest -m smoke` = a <3-minute-cold slice touching every subsystem
