@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_infer(cfg, B: int, T: int):
+def build_infer(cfg, B: int, T: int, int16: bool = False):
     from vispeech_tpu.models import Synthesizer
     from vispeech_tpu.text.symbols import N_SYMBOLS
 
@@ -59,16 +59,22 @@ def build_infer(cfg, B: int, T: int):
             method=type(model).infer,
             rngs={"sample": jax.random.fold_in(jax.random.PRNGKey(3), seed)},
         )
-        return out[0], out[1]  # audio, frame_mask
+        audio = out[0]
+        if int16:  # the engine's device-side PCM quantization (pipeline.py)
+            audio = jnp.round(
+                jnp.clip(audio[..., 0].astype(jnp.float32), -1.0, 1.0)
+                * 32767.0
+            ).astype(jnp.int16)
+        return audio, out[1]  # audio, frame_mask
 
     return model, variables, infer, N
 
 
-def bench_latency(cfg, buckets, n_requests: int):
+def bench_latency(cfg, buckets, n_requests: int, int16: bool = False):
     """B=1 per-request wall-clock (ms) incl. host transfer, per bucket."""
     out = {}
     for T in buckets:
-        model, variables, infer, N = build_infer(cfg, 1, T)
+        model, variables, infer, N = build_infer(cfg, 1, T, int16=int16)
         rng = np.random.RandomState(1)
         # warm (compile) — not timed
         a, _ = infer(variables, jnp.asarray(rng.randint(1, 500, (1, N)),
@@ -99,7 +105,8 @@ def bench_latency(cfg, buckets, n_requests: int):
 
 
 def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0,
-                       tiered: bool = True):
+                       tiered: bool = True, int16: bool = False,
+                       pipelined: bool = False):
     """Throughput + padding efficiency for a sampled length distribution.
 
     ``tiered=True`` routes requests through the production planner
@@ -129,7 +136,7 @@ def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0,
     fns = {}
     for key in sorted({(p.bucket, p.tier) for p in plans}):
         T, B = key
-        fns[key] = build_infer(cfg, B, T)
+        fns[key] = build_infer(cfg, B, T, int16=int16)
         model, variables, infer, N = fns[key]  # warm/compile, untimed
         a, _ = infer(variables, jnp.ones((B, N), jnp.int32),
                      jnp.full((B,), N, jnp.int32),
@@ -139,19 +146,37 @@ def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0,
     compute_s = 0.0
     transfer_s = 0.0
     t0 = time.perf_counter()
-    for i, p in enumerate(plans):
-        model, variables, infer, N = fns[(p.bucket, p.tier)]
-        ph = np.ones((p.tier, N), np.int32)
-        t1 = time.perf_counter()
-        audio, _ = infer(
-            variables, jnp.asarray(ph), jnp.full((p.tier,), N, jnp.int32),
-            jnp.zeros((p.tier,), jnp.int32), jnp.int32(i))
-        jax.block_until_ready(audio)
-        t2 = time.perf_counter()
-        np.asarray(jax.device_get(audio))
-        t3 = time.perf_counter()
-        compute_s += t2 - t1
-        transfer_s += t3 - t2
+    if pipelined:
+        # the engine's depth-1 software pipeline (pipeline.synthesize_batch):
+        # batch k+1 is dispatched before batch k's audio is fetched, so the
+        # device computes under the host transfer.  compute/transfer can't
+        # be accounted separately here — they overlap by design.
+        pending = None
+        for i, p in enumerate(plans):
+            model, variables, infer, N = fns[(p.bucket, p.tier)]
+            ph = np.ones((p.tier, N), np.int32)
+            audio, _ = infer(
+                variables, jnp.asarray(ph), jnp.full((p.tier,), N, jnp.int32),
+                jnp.zeros((p.tier,), jnp.int32), jnp.int32(i))
+            if pending is not None:
+                np.asarray(jax.device_get(pending))
+            pending = audio
+        if pending is not None:
+            np.asarray(jax.device_get(pending))
+    else:
+        for i, p in enumerate(plans):
+            model, variables, infer, N = fns[(p.bucket, p.tier)]
+            ph = np.ones((p.tier, N), np.int32)
+            t1 = time.perf_counter()
+            audio, _ = infer(
+                variables, jnp.asarray(ph), jnp.full((p.tier,), N, jnp.int32),
+                jnp.zeros((p.tier,), jnp.int32), jnp.int32(i))
+            jax.block_until_ready(audio)
+            t2 = time.perf_counter()
+            np.asarray(jax.device_get(audio))
+            t3 = time.perf_counter()
+            compute_s += t2 - t1
+            transfer_s += t3 - t2
     dt = time.perf_counter() - t0
 
     hop, sr = cfg.data.hop_length, cfg.data.sampling_rate
@@ -160,10 +185,14 @@ def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0,
     hist: dict = {}
     for p in plans:
         hist[p.bucket] = hist.get(p.bucket, 0) + len(p.indices)
+    policy = "tiered+fine-buckets" if tiered else "single-tier+coarse (round-3)"
+    if int16:
+        policy += "+int16-transfer"
+    if pipelined:
+        policy += "+pipelined"
     return {
         "requests": n_requests,
-        "policy": ("tiered+fine-buckets" if tiered
-                   else "single-tier+coarse (round-3)"),
+        "policy": policy,
         "tiers": list(tiers),
         "n_batches": stats["n_batches"],
         "dummy_rows": stats["dummy_rows"],
@@ -173,10 +202,17 @@ def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0,
             real_audio_s / compute_s, 1) if compute_s else None,
         "padded_audio_s_per_s": round(padded_audio_s / dt, 1),
         "padding_efficiency": round(real_audio_s / padded_audio_s, 4),
-        "compute_s": round(compute_s, 2),
-        "host_transfer_s": round(transfer_s, 2),
+        "compute_s": round(compute_s, 2) if not pipelined else None,
+        "host_transfer_s": round(transfer_s, 2) if not pipelined else None,
+        "overlapped": bool(pipelined),
         "wall_s": round(dt, 2),
     }
+
+
+ALL_MODES = ("lat", "lat16", "r4", "tiered", "r3")
+MODE_KEY = {"lat": "latency_b1", "lat16": "latency_b1_int16",
+            "r4": "distribution", "tiered": "distribution_no_overlap",
+            "r3": "distribution_round3_policy"}
 
 
 def main():
@@ -185,9 +221,17 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--latency-requests", type=int, default=50)
     ap.add_argument("--buckets", default="256,512,1024,1408")
+    ap.add_argument("--modes", default="all",
+                    help="comma list of lat,lat16,r4,tiered,r3 — unlisted "
+                         "sections are carried over from the existing "
+                         "artifact (bounds compile time per invocation)")
     ap.add_argument("--out-dir", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts"))
     args = ap.parse_args()
+
+    # compile once per shape across invocations of this harness
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vispeech_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from vispeech_tpu.config import Config
 
@@ -196,20 +240,45 @@ def main():
     if not on_tpu:  # CPU smoke: shrink everything
         args.requests, args.batch, args.latency_requests = 8, 2, 3
         args.buckets = "64"
+    modes = ALL_MODES if args.modes == "all" else tuple(
+        args.modes.split(","))
 
-    latency = bench_latency(
-        cfg, [int(x) for x in args.buckets.split(",")], args.latency_requests)
-    dist = bench_distribution(cfg, args.requests, args.batch, tiered=True)
-    print(json.dumps(dist), flush=True)
-    dist_r3 = bench_distribution(cfg, args.requests, args.batch, tiered=False)
-    print(json.dumps(dist_r3), flush=True)
-
-    out = {"metric": "serving_latency_and_distribution",
-           "backend": jax.default_backend(),
-           "latency_b1": latency, "distribution": dist,
-           "distribution_round3_policy": dist_r3}
     os.makedirs(args.out_dir, exist_ok=True)
     path = os.path.join(args.out_dir, "serving_latency.json")
+    out = {"metric": "serving_latency_and_distribution",
+           "backend": jax.default_backend()}
+    if os.path.exists(path):  # carry over sections not re-run this time
+        with open(path) as f:
+            prior = json.load(f)
+        for key in MODE_KEY.values():
+            if key in prior:
+                out[key] = prior[key]
+
+    lat_buckets = [int(x) for x in args.buckets.split(",")]
+    if "lat" in modes:
+        out["latency_b1"] = bench_latency(
+            cfg, lat_buckets, args.latency_requests)
+    if "lat16" in modes:
+        # serving default on TPU is int16 transfer (TTSEngine.transfer_int16)
+        # — measure the per-request latency it buys over the f32 fetch
+        out["latency_b1_int16"] = bench_latency(
+            cfg, lat_buckets, args.latency_requests, int16=True)
+    if "r4" in modes:
+        # round-4 production policy: tiered buckets + int16 transfer +
+        # depth-1 fetch/compute pipeline (TTSEngine.synthesize_batch)
+        out["distribution"] = bench_distribution(
+            cfg, args.requests, args.batch, tiered=True,
+            int16=True, pipelined=True)
+        print(json.dumps(out["distribution"]), flush=True)
+    if "tiered" in modes:
+        out["distribution_no_overlap"] = bench_distribution(
+            cfg, args.requests, args.batch, tiered=True)
+        print(json.dumps(out["distribution_no_overlap"]), flush=True)
+    if "r3" in modes:
+        out["distribution_round3_policy"] = bench_distribution(
+            cfg, args.requests, args.batch, tiered=False)
+        print(json.dumps(out["distribution_round3_policy"]), flush=True)
+
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

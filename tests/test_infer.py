@@ -317,3 +317,46 @@ class TestSynthesizeBatch:
             outs[0]["audio"][: min(len(outs[0]["audio"]), len(outs[1]["audio"]))],
             outs[1]["audio"][: min(len(outs[0]["audio"]), len(outs[1]["audio"]))],
         )
+
+
+class TestInt16Transfer:
+    """Device-side PCM quantization (TTSEngine.transfer_int16): halves the
+    dominant host-transfer term; 'audio' stays float32 within 1 LSB."""
+
+    def test_int16_matches_f32_within_quantization(self, engine):
+        from vispeech_tpu.infer.pipeline import TTSEngine
+
+        eng16 = TTSEngine(engine.cfg, engine.variables, transfer_int16=True)
+        ref = engine.synthesize(text="[P]ni2 hao3[P]", seed=1)
+        out = eng16.synthesize(text="[P]ni2 hao3[P]", seed=1)
+        assert out["audio_int16"].dtype == np.int16
+        assert out["audio"].dtype == np.float32
+        assert len(out["audio"]) == len(ref["audio"])
+        # dequantized float within one quantization step of the exact path
+        np.testing.assert_allclose(
+            out["audio"], np.clip(ref["audio"], -1, 1), atol=1.01 / 32767)
+        # prosody fields untouched by the transfer dtype
+        np.testing.assert_allclose(out["f0"], ref["f0"], rtol=1e-6)
+
+    def test_batch_int16_pipeline_matches(self, engine):
+        from vispeech_tpu.infer.pipeline import TTSEngine
+
+        eng16 = TTSEngine(engine.cfg, engine.variables, transfer_int16=True)
+        texts = ["[P]ni2 hao3[P]", "[P]ni2 hao3 ma5[P]", "[P]hao3[P]"]
+        ref = engine.synthesize_batch(texts=texts, seed=3)
+        outs = eng16.synthesize_batch(texts=texts, seed=3)
+        assert len(outs) == len(ref)
+        for o, r in zip(outs, ref):
+            assert o["audio_int16"].dtype == np.int16
+            assert len(o["audio"]) == len(r["audio"])
+            np.testing.assert_allclose(
+                o["audio"], np.clip(r["audio"], -1, 1), atol=1.01 / 32767)
+
+    def test_wav_bytes_int16_passthrough(self):
+        from vispeech_tpu.infer.server import wav_bytes
+
+        pcm = np.asarray([0, 100, -32768, 32767], np.int16)
+        body = wav_bytes(pcm, 8000)
+        assert body[:4] == b"RIFF"
+        assert np.array_equal(
+            np.frombuffer(body[-8:], "<i2"), pcm)

@@ -84,6 +84,7 @@ class TTSEngine:
         variables: dict,
         max_phonemes: int = 512,
         policy=None,  # Optional[ServingPolicy]; None = fastest for backend
+        transfer_int16: Optional[bool] = None,
     ):
         self.cfg = cfg
         if policy is None:
@@ -91,6 +92,14 @@ class TTSEngine:
         self.model = Synthesizer.from_config(cfg, N_SYMBOLS, policy=policy)
         self.variables = variables
         self.max_phonemes = max_phonemes
+        # Serving emits 16-bit PCM anyway (server.wav_bytes), so on TPU the
+        # waveform is quantized ON DEVICE and fetched as int16 — halving the
+        # dominant host-transfer term (measured: audio is ~99% of fetched
+        # bytes).  'audio' in results stays float32 (dequantized, error
+        # <= 1/32767 ~= 3.1e-5); 'audio_int16' carries the exact PCM.
+        if transfer_int16 is None:
+            transfer_int16 = jax.default_backend() == "tpu"
+        self.transfer_int16 = bool(transfer_int16)
         self._dur_fns: Dict[int, object] = {}
         self._infer_fns: Dict[tuple, object] = {}
         self._vc_fns: Dict[int, object] = {}
@@ -178,8 +187,9 @@ class TTSEngine:
             else jnp.asarray(energy_scale, jnp.float32),
         ))
         n_frames = int(np.asarray(frame_mask).sum())
-        wav = np.asarray(audio)[0, : n_frames * self.cfg.data.hop_length, 0]
-        return {
+        wav, pcm = self._audio_from_fetched(
+            np.asarray(audio)[0], n_frames * self.cfg.data.hop_length)
+        out = {
             "audio": wav,
             "sampling_rate": self.cfg.data.sampling_rate,
             "phones": list(phones),
@@ -187,6 +197,9 @@ class TTSEngine:
             "f0": np.asarray(f0)[0, :n],
             "energy": np.asarray(energy)[0, :n],
         }
+        if pcm is not None:
+            out["audio_int16"] = pcm
+        return out
 
     def synthesize_batch(
         self,
@@ -203,7 +216,10 @@ class TTSEngine:
         tiers (largest full tier first, remainder in the smallest covering
         tier), and each group runs as ONE device dispatch — the throughput
         path the reference's one-at-a-time mutex server never had
-        (reference inference_api.py:35-69).  Returns one result dict per
+        (reference inference_api.py:35-69).  Dispatch runs one batch ahead
+        of the host fetch (depth-1 pipeline) so the device computes batch
+        k+1 while batch k's audio transfers; with transfer_int16 the audio
+        crosses as device-quantized PCM.  Returns one result dict per
         request, order-preserving, same fields as synthesize()."""
         from vispeech_tpu.infer.batching import (
             DEFAULT_TIERS, SERVING_BUCKETS, plan_batches,
@@ -252,6 +268,30 @@ class TTSEngine:
         results: list = [None] * R
         hop = self.cfg.data.hop_length
         base_key = jax.random.PRNGKey(seed)
+
+        def harvest(plan, outs):
+            # device_get here is the big fetch (audio); because the NEXT
+            # plan's dispatch is already enqueued (async dispatch), the
+            # device computes batch k+1 while the host pulls batch k —
+            # software pipelining that hides the transfer term measured in
+            # benchmarks/artifacts/serving_latency.json
+            audio, _, _, out_dur, f0, energy = jax.device_get(outs)
+            for r, i in enumerate(plan.indices):
+                n = n_list[i]
+                wav, pcm = self._audio_from_fetched(
+                    np.asarray(audio)[r], totals[i] * hop)
+                results[i] = {
+                    "audio": wav,
+                    "sampling_rate": self.cfg.data.sampling_rate,
+                    "phones": list(phones_list[i]),
+                    "duration": np.asarray(out_dur)[r, :n],
+                    "f0": np.asarray(f0)[r, :n],
+                    "energy": np.asarray(energy)[r, :n],
+                }
+                if pcm is not None:
+                    results[i]["audio_int16"] = pcm
+
+        pending = None  # (plan, device outputs) — depth-1 pipeline
         for plan_idx, plan in enumerate(plans):
             # same phoneme-pad rule as _encode (clamped by max_phonemes so
             # batch and single paths share compiled shapes)
@@ -272,23 +312,18 @@ class TTSEngine:
             run = self._get_infer_fn(n_pad, plan.bucket,
                                      use_pitch_arr=False,
                                      use_energy_arr=False)
-            audio, _, _, out_dur, f0, energy = jax.device_get(run(
+            outs = run(
                 self.variables, jnp.asarray(ph), jnp.asarray(lens),
                 jnp.asarray(sid), jax.random.fold_in(base_key, plan_idx),
                 jnp.asarray(noise_scale, jnp.float32),
                 jnp.asarray(dur),
                 jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
-            ))
-            for r, i in enumerate(plan.indices):
-                n = n_list[i]
-                results[i] = {
-                    "audio": np.asarray(audio)[r, : totals[i] * hop, 0],
-                    "sampling_rate": self.cfg.data.sampling_rate,
-                    "phones": list(phones_list[i]),
-                    "duration": np.asarray(out_dur)[r, :n],
-                    "f0": np.asarray(f0)[r, :n],
-                    "energy": np.asarray(energy)[r, :n],
-                }
+            )
+            if pending is not None:
+                harvest(*pending)
+            pending = (plan, outs)
+        if pending is not None:
+            harvest(*pending)
         return results
 
     def _split_control(self, ctrl: Control, n_pad: int, n: int):
@@ -312,11 +347,14 @@ class TTSEngine:
 
     def _get_infer_fn(self, n_pad: int, t_frames: int,
                       use_pitch_arr: bool, use_energy_arr: bool):
-        key = (n_pad, t_frames, use_pitch_arr, use_energy_arr)
+        key = (n_pad, t_frames, use_pitch_arr, use_energy_arr,
+               self.transfer_int16)
         if key not in self._infer_fns:
+            int16 = self.transfer_int16
+
             def fn(variables, phonemes, lengths, sid, rng, noise_scale,
                    duration, pitch_ctrl, energy_ctrl):
-                return self.model.apply(
+                out = self.model.apply(
                     variables, phonemes, lengths, t_frames, sid=sid,
                     noise_scale=noise_scale,
                     duration_control=duration,
@@ -325,9 +363,25 @@ class TTSEngine:
                     method=Synthesizer.infer,
                     rngs={"sample": rng},
                 )
+                if int16:
+                    # quantize to PCM on device: the fetch is half the bytes
+                    # and wav encoding needs int16 anyway (server.wav_bytes)
+                    pcm = jnp.round(
+                        jnp.clip(out[0][..., 0].astype(jnp.float32), -1.0, 1.0)
+                        * 32767.0
+                    ).astype(jnp.int16)
+                    return (pcm,) + tuple(out[1:])
+                return out
 
             self._infer_fns[key] = jax.jit(fn)
         return self._infer_fns[key]
+
+    def _audio_from_fetched(self, audio_row: np.ndarray, n_samples: int):
+        """(float32 wav, int16 wav or None) from a fetched audio row."""
+        if self.transfer_int16:
+            pcm = np.asarray(audio_row)[:n_samples]
+            return pcm.astype(np.float32) / 32767.0, pcm
+        return np.asarray(audio_row)[:n_samples, 0], None
 
     # ------------------------------------------------------ voice conversion
 

@@ -91,8 +91,15 @@ async function resynth(){
 
 
 def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
-    """Encode float waveform as 16-bit PCM WAV in memory."""
-    pcm = (np.clip(np.asarray(audio, np.float32), -1, 1) * 32767).astype("<i2")
+    """Encode waveform as 16-bit PCM WAV in memory.
+
+    int16 input (the engine's on-device-quantized 'audio_int16') passes
+    through untouched; float input is quantized here."""
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        pcm = audio.astype("<i2", copy=False)
+    else:
+        pcm = (np.clip(audio.astype(np.float32), -1, 1) * 32767).astype("<i2")
     data = pcm.tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
@@ -218,6 +225,8 @@ def make_handler(engine, lock: threading.Lock):
                 from vispeech_tpu.dsp.resample import resample
 
                 audio, sr = resample(audio, sr, sr_out), sr_out
+            elif "audio_int16" in out:  # device-quantized PCM: skip requant
+                audio = out["audio_int16"]
             return self._send(200, wav_bytes(audio, sr), "audio/wav")
 
         def do_GET(self):  # noqa: N802
@@ -277,6 +286,8 @@ def make_handler(engine, lock: threading.Lock):
                 from vispeech_tpu.dsp.resample import resample
 
                 audio, sr = resample(audio, sr, sr_out), sr_out
+            elif "audio_int16" in out:  # device-quantized PCM: skip requant
+                audio = out["audio_int16"]
             return self._send(200, wav_bytes(audio, sr), "audio/wav")
 
         def log_message(self, fmt, *args):  # quiet
