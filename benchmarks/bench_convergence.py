@@ -32,13 +32,15 @@ import numpy as np
 
 
 def flagship_config(root: str, fp16: bool, batch_size: int, lr: float,
-                    bf16_scope: str = "stable", fused_attn: bool = True):
+                    bf16_scope: str = "tail_f32", fused_attn: bool = True):
     from vispeech_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
     return Config(
         train=TrainConfig(
             seed=0, batch_size=batch_size, fp16_run=fp16, segment_size=16384,
             learning_rate=lr, bf16_scope=bf16_scope, fused_attn=fused_attn,
+            # this harness IS the A/B diagnostic tool for the legacy scopes
+            bf16_allow_divergent=bf16_scope in ("stable", "full"),
         ),
         data=DataConfig(
             training_files=os.path.join(root, "train.list"),
@@ -55,8 +57,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--bf16", action="store_true",
-                   help="run the bf16 policy (train.fp16_run, 'stable' scope: "
-                        "decoder + discriminators stay f32)")
+                   help="run the bf16 policy (train.fp16_run, shipped "
+                        "'tail_f32' scope: decoder tail + discriminators f32)")
+    p.add_argument("--bf16-stable", action="store_true",
+                   help="legacy round-3 'stable' scope (diverges slowly; "
+                        "A/B only)")
     p.add_argument("--bf16-full", action="store_true",
                    help="everything-bf16 scope (known to destabilize the GAN; "
                         "kept for A/B — see config.TrainConfig.bf16_scope)")
@@ -82,9 +87,12 @@ def main():
     from vispeech_tpu.text.symbols import N_SYMBOLS
     from vispeech_tpu.train.step import Batch, create_train_state, make_train_step
 
-    if args.bf16_full:
+    if args.bf16_full or args.bf16_stable:
         args.bf16 = True
-    tag = ("bf16_full" if args.bf16_full else "bf16") if args.bf16 else "fp32"
+    scope = ("full" if args.bf16_full
+             else "stable" if args.bf16_stable else "tail_f32")
+    tag = (f"bf16_{scope}" if scope != "tail_f32" else "bf16") \
+        if args.bf16 else "fp32"
     if not args.fused_attn:
         tag += "_xla_attn"
     os.makedirs(args.out_dir, exist_ok=True)
@@ -94,8 +102,7 @@ def main():
         dur_range=(4, 10), seed=0,
     )
     cfg = flagship_config(root, args.bf16, args.batch, args.lr,
-                          bf16_scope="full" if args.bf16_full else "stable",
-                          fused_attn=args.fused_attn)
+                          bf16_scope=scope, fused_attn=args.fused_attn)
     d = cfg.data
 
     ds = FilelistDataset(cfg.data.training_files, cfg.data,

@@ -65,7 +65,11 @@ def build_infer(cfg, B: int, T: int, int16: bool = False):
                 jnp.clip(audio[..., 0].astype(jnp.float32), -1.0, 1.0)
                 * 32767.0
             ).astype(jnp.int16)
-        return audio, out[1]  # audio, frame_mask
+        # return EXACTLY what TTSEngine's jitted fn returns (pipeline.py
+        # _get_infer_fn: audio, frame_mask, duration, f0, energy — latents
+        # dropped inside the jit) so the benchmark fetches the same bytes
+        # as production serving
+        return audio, out[1], out[3], out[4], out[5]
 
     return model, variables, infer, N
 
@@ -77,19 +81,19 @@ def bench_latency(cfg, buckets, n_requests: int, int16: bool = False):
         model, variables, infer, N = build_infer(cfg, 1, T, int16=int16)
         rng = np.random.RandomState(1)
         # warm (compile) — not timed
-        a, _ = infer(variables, jnp.asarray(rng.randint(1, 500, (1, N)),
+        outs = infer(variables, jnp.asarray(rng.randint(1, 500, (1, N)),
                                             jnp.int32),
                      jnp.full((1,), N, jnp.int32), jnp.zeros((1,), jnp.int32),
                      jnp.int32(0))
-        np.asarray(jax.device_get(a))
+        jax.device_get(outs)
         times = []
         for i in range(n_requests):
             ph_host = rng.randint(1, 500, (1, N)).astype(np.int32)
             t0 = time.perf_counter()
-            audio, _ = infer(
+            outs = infer(
                 variables, jnp.asarray(ph_host), jnp.full((1,), N, jnp.int32),
                 jnp.zeros((1,), jnp.int32), jnp.int32(i))
-            wav = np.asarray(jax.device_get(audio))  # host transfer = sync
+            jax.device_get(outs)  # full production fetch = sync
             times.append((time.perf_counter() - t0) * 1e3)
         times = np.asarray(times)
         audio_s = T * cfg.data.hop_length / cfg.data.sampling_rate
@@ -138,10 +142,10 @@ def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0,
         T, B = key
         fns[key] = build_infer(cfg, B, T, int16=int16)
         model, variables, infer, N = fns[key]  # warm/compile, untimed
-        a, _ = infer(variables, jnp.ones((B, N), jnp.int32),
+        outs = infer(variables, jnp.ones((B, N), jnp.int32),
                      jnp.full((B,), N, jnp.int32),
                      jnp.zeros((B,), jnp.int32), jnp.int32(0))
-        np.asarray(jax.device_get(a))
+        jax.device_get(outs)
 
     compute_s = 0.0
     transfer_s = 0.0
@@ -155,25 +159,25 @@ def bench_distribution(cfg, n_requests: int, batch: int, seed: int = 0,
         for i, p in enumerate(plans):
             model, variables, infer, N = fns[(p.bucket, p.tier)]
             ph = np.ones((p.tier, N), np.int32)
-            audio, _ = infer(
+            outs = infer(
                 variables, jnp.asarray(ph), jnp.full((p.tier,), N, jnp.int32),
                 jnp.zeros((p.tier,), jnp.int32), jnp.int32(i))
             if pending is not None:
-                np.asarray(jax.device_get(pending))
-            pending = audio
+                jax.device_get(pending)
+            pending = outs
         if pending is not None:
-            np.asarray(jax.device_get(pending))
+            jax.device_get(pending)
     else:
         for i, p in enumerate(plans):
             model, variables, infer, N = fns[(p.bucket, p.tier)]
             ph = np.ones((p.tier, N), np.int32)
             t1 = time.perf_counter()
-            audio, _ = infer(
+            outs = infer(
                 variables, jnp.asarray(ph), jnp.full((p.tier,), N, jnp.int32),
                 jnp.zeros((p.tier,), jnp.int32), jnp.int32(i))
-            jax.block_until_ready(audio)
+            jax.block_until_ready(outs)
             t2 = time.perf_counter()
-            np.asarray(jax.device_get(audio))
+            jax.device_get(outs)
             t3 = time.perf_counter()
             compute_s += t2 - t1
             transfer_s += t3 - t2
@@ -229,30 +233,49 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "artifacts"))
     args = ap.parse_args()
 
-    # compile once per shape across invocations of this harness
-    jax.config.update("jax_compilation_cache_dir", "/tmp/vispeech_jax_cache")
+    # compile once per shape across invocations of this harness —
+    # user-scoped path (a shared world-writable /tmp dir collides between
+    # users on a shared host); override with VISPEECH_JAX_CACHE
+    cache_dir = os.environ.get("VISPEECH_JAX_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "vispeech", "jax")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from vispeech_tpu.config import Config
 
     cfg = Config()
-    on_tpu = jax.default_backend() == "tpu"
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
     if not on_tpu:  # CPU smoke: shrink everything
         args.requests, args.batch, args.latency_requests = 8, 2, 3
         args.buckets = "64"
     modes = ALL_MODES if args.modes == "all" else tuple(
         args.modes.split(","))
+    unknown = [m for m in modes if m not in ALL_MODES]
+    if unknown:
+        ap.error(f"unknown --modes {unknown}; valid: {','.join(ALL_MODES)}")
 
     os.makedirs(args.out_dir, exist_ok=True)
     path = os.path.join(args.out_dir, "serving_latency.json")
     out = {"metric": "serving_latency_and_distribution",
-           "backend": jax.default_backend()}
+           "backend": backend}
     if os.path.exists(path):  # carry over sections not re-run this time
         with open(path) as f:
             prior = json.load(f)
         for key in MODE_KEY.values():
             if key in prior:
-                out[key] = prior[key]
+                sec = prior[key]
+                # sections are backend-stamped; refuse to silently mix a
+                # CPU smoke run into a TPU artifact (or vice versa)
+                sec_backend = (sec.get("backend")
+                               if isinstance(sec, dict) else None) \
+                    or prior.get("backend")
+                if sec_backend is not None and sec_backend != backend:
+                    print(f"dropping stale section {key!r}: backend "
+                          f"{sec_backend!r} != current {backend!r}",
+                          file=sys.stderr)
+                    continue
+                out[key] = sec
 
     lat_buckets = [int(x) for x in args.buckets.split(",")]
     if "lat" in modes:
@@ -278,6 +301,12 @@ def main():
         out["distribution_round3_policy"] = bench_distribution(
             cfg, args.requests, args.batch, tiered=False)
         print(json.dumps(out["distribution_round3_policy"]), flush=True)
+
+    # stamp every freshly produced section with the backend it ran on, so
+    # the carry-over merge above can detect cross-backend staleness
+    for key in MODE_KEY.values():
+        if key in out and isinstance(out[key], dict):
+            out[key]["backend"] = backend
 
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -107,6 +107,7 @@ def main():
             # default scope comes from config (tail_f32 — the converging
             # policy); --bf16-full selects the legacy everything-bf16 A/B
             bf16_scope="full" if args.bf16_full else cfg.train.bf16_scope,
+            bf16_allow_divergent=args.bf16_full,  # explicit legacy A/B
             bf16_disc=args.bf16_disc,
             fused_attn=args.fused_attn, folded_mrf=args.folded_mrf,
         )

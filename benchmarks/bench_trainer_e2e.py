@@ -289,6 +289,9 @@ def main():
         # host dispatch backpressure only — NOT device step times
         "dispatch_ms_by_bucket": stats2.get(
             "dispatch_ms_by_bucket", stats2.get("steps_by_bucket")),
+        # round-5 instrumentation: collate stall + blocking H2D copy per
+        # step, both overlapped with compute by the Trainer's double buffer
+        "input_pipeline_ms": stats2.get("input_pipeline_ms"),
         "loss_curve": all_mel,
     }
 

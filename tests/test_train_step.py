@@ -176,7 +176,7 @@ def test_train_step_bf16_only_stage():
     )
     # stage names cover every STAGE_PARAM_KEYS entry
     assert set(STAGE_PARAM_KEYS) == {
-        "enc_p", "heads", "fpn", "project", "enc_q", "flow", "dec"}
+        "enc_p", "heads", "fpn", "project", "enc_q", "flow", "dec", "dec_body"}
 
 
 def test_device_dsp_matches_host_spec_path():
@@ -244,6 +244,34 @@ def test_train_step_bf16_dec_body_tail_f32():
     _, metrics = step(state, batch)
     for k, v in metrics.items():
         assert np.isfinite(jax.device_get(v)), k
+
+
+def test_legacy_bf16_scopes_fail_loudly():
+    """'stable'/'full' whole-graph casts reproduce the GAN collapse
+    (BENCH_TRAIN_r04.bf16_root_cause); selecting them must raise unless
+    explicitly acknowledged via bf16_allow_divergent (VERDICT r4 #7)."""
+    import dataclasses
+
+    for scope in ("stable", "full"):
+        cfg = dataclasses.replace(
+            TINY_CFG,
+            train=dataclasses.replace(
+                TINY_CFG.train, fp16_run=True, bf16_scope=scope),
+        )
+        with pytest.raises(ValueError, match="KNOWN to collapse"):
+            cfg.train.effective_bf16_stages()
+        ack = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, bf16_allow_divergent=True))
+        assert ack.train.effective_bf16_stages() == ()  # whole-graph mode
+    # unknown scope still raises the typo guard, not the divergence guard
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        train=dataclasses.replace(
+            TINY_CFG.train, fp16_run=True, bf16_scope="everythin"),
+    )
+    with pytest.raises(ValueError, match="unknown bf16_scope"):
+        cfg.train.effective_bf16_stages()
 
 
 def test_tail_f32_scope_resolves_and_runs():

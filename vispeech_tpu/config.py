@@ -61,7 +61,15 @@ class TrainConfig:
     # "stable" = encoder-side only (decoder + discriminators f32; round-3
     #   scope — collapses slowly, kept for A/B);
     # "full" = everything, the reference autocast scope (collapses fast).
+    # The legacy whole-graph scopes REPRODUCE the GAN collapse
+    # (BENCH_TRAIN_r04.bf16_root_cause) and exist only for diagnostics /
+    # A/B reproduction: selecting them raises unless
+    # bf16_allow_divergent=true explicitly acknowledges that.
     bf16_scope: str = "tail_f32"
+    # Opt-in acknowledgment required to run the known-diverging legacy
+    # whole-graph bf16 scopes ("stable"/"full").  Without it they fail
+    # loudly at step construction instead of silently collapsing @120-770.
+    bf16_allow_divergent: bool = False
     # Diagnostic cast granularity: when non-empty (and fp16_run), cast ONLY
     # these top-level generator modules to bf16 and keep everything else
     # (incl. discriminators) f32 — used to localize which stage triggers the
@@ -92,6 +100,14 @@ class TrainConfig:
             raise ValueError(
                 f"unknown bf16_scope {self.bf16_scope!r} "
                 "(expected 'tail_f32', 'stable', or 'full')")
+        if not self.bf16_allow_divergent:
+            raise ValueError(
+                f"bf16_scope={self.bf16_scope!r} is a legacy whole-graph "
+                "cast KNOWN to collapse GAN training (round-4 stage "
+                "localization, benchmarks/artifacts/bf16_diag/ANALYSIS.md; "
+                "collapse onset @120-770 steps). Use the converging default "
+                "bf16_scope='tail_f32', or set bf16_allow_divergent=true to "
+                "run it anyway for diagnostics/A-B reproduction.")
         return ()
     lr_decay: float = 0.999875
     segment_size: int = 16384

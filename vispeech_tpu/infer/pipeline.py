@@ -93,9 +93,10 @@ class TTSEngine:
         self.variables = variables
         self.max_phonemes = max_phonemes
         # Serving emits 16-bit PCM anyway (server.wav_bytes), so on TPU the
-        # waveform is quantized ON DEVICE and fetched as int16 — halving the
-        # dominant host-transfer term (measured: audio is ~99% of fetched
-        # bytes).  'audio' in results stays float32 (dequantized, error
+        # waveform is quantized ON DEVICE and fetched as int16.  With the
+        # latent tuple dropped inside the jit (see _get_infer_fn), audio is
+        # the dominant fetched payload, so int16 halves the transfer term.
+        # 'audio' in results stays float32 (dequantized, error
         # <= 1/32767 ~= 3.1e-5); 'audio_int16' carries the exact PCM.
         if transfer_int16 is None:
             transfer_int16 = jax.default_backend() == "tpu"
@@ -177,7 +178,7 @@ class TTSEngine:
             use_pitch_arr=pitch_arr is not None,
             use_energy_arr=energy_arr is not None,
         )
-        audio, frame_mask, _, dur, f0, energy = jax.device_get(run(
+        audio, frame_mask, dur, f0, energy = jax.device_get(run(
             self.variables, phonemes, lengths, sid, jax.random.PRNGKey(seed),
             jnp.asarray(noise_scale, jnp.float32),
             jnp.asarray(dur_arr),
@@ -275,7 +276,7 @@ class TTSEngine:
             # device computes batch k+1 while the host pulls batch k —
             # software pipelining that hides the transfer term measured in
             # benchmarks/artifacts/serving_latency.json
-            audio, _, _, out_dur, f0, energy = jax.device_get(outs)
+            audio, _, out_dur, f0, energy = jax.device_get(outs)
             for r, i in enumerate(plan.indices):
                 n = n_list[i]
                 wav, pcm = self._audio_from_fetched(
@@ -354,7 +355,7 @@ class TTSEngine:
 
             def fn(variables, phonemes, lengths, sid, rng, noise_scale,
                    duration, pitch_ctrl, energy_ctrl):
-                out = self.model.apply(
+                audio, frame_mask, _latents, dur, f0, energy = self.model.apply(
                     variables, phonemes, lengths, t_frames, sid=sid,
                     noise_scale=noise_scale,
                     duration_control=duration,
@@ -363,15 +364,18 @@ class TTSEngine:
                     method=Synthesizer.infer,
                     rngs={"sample": rng},
                 )
+                # The (z, z_p, m_p, logs_p) latent tuple is (B,T,192) f32 each
+                # — ~3072 B/frame vs 2048 B/frame of f32 audio.  Serving never
+                # uses it, so it is dropped INSIDE the jit: XLA then neither
+                # materializes nor transfers it, which is most of the fetch.
                 if int16:
-                    # quantize to PCM on device: the fetch is half the bytes
-                    # and wav encoding needs int16 anyway (server.wav_bytes)
-                    pcm = jnp.round(
-                        jnp.clip(out[0][..., 0].astype(jnp.float32), -1.0, 1.0)
+                    # quantize to PCM on device: wav encoding needs int16
+                    # anyway (server.wav_bytes), and the audio fetch halves
+                    audio = jnp.round(
+                        jnp.clip(audio[..., 0].astype(jnp.float32), -1.0, 1.0)
                         * 32767.0
                     ).astype(jnp.int16)
-                    return (pcm,) + tuple(out[1:])
-                return out
+                return audio, frame_mask, dur, f0, energy
 
             self._infer_fns[key] = jax.jit(fn)
         return self._infer_fns[key]
@@ -409,14 +413,16 @@ class TTSEngine:
 
         if t_pad not in self._vc_fns:
             def fn(variables, spec, spec_lengths, sid_src, sid_tgt, rng):
-                return self.model.apply(
+                out = self.model.apply(
                     variables, spec, spec_lengths, sid_src, sid_tgt,
                     method=Synthesizer.voice_conversion,
                     rngs={"sample": rng},
                 )
+                # drop the latent tuple inside the jit (see _get_infer_fn)
+                return out[0], out[1]
 
             self._vc_fns[t_pad] = jax.jit(fn)
-        audio, y_mask, _ = jax.device_get(self._vc_fns[t_pad](
+        audio, y_mask = jax.device_get(self._vc_fns[t_pad](
             self.variables, jnp.asarray(spec_pad), jnp.asarray([t], jnp.int32),
             to_sid(speaker_src), to_sid(speaker_tgt), jax.random.PRNGKey(0),
         ))

@@ -99,7 +99,10 @@ def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     if audio.dtype == np.int16:
         pcm = audio.astype("<i2", copy=False)
     else:
-        pcm = (np.clip(audio.astype(np.float32), -1, 1) * 32767).astype("<i2")
+        # np.round matches the device quantizer (pipeline._get_infer_fn) so
+        # CPU serving and TPU int16 passthrough emit identical PCM
+        pcm = np.round(
+            np.clip(audio.astype(np.float32), -1, 1) * 32767).astype("<i2")
     data = pcm.tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)

@@ -74,9 +74,12 @@ class WN(nn.Module):
             self.trainable_fused
             and self.dilation_rate == 1
             and self.p_dropout == 0.0
-            # the trainable kernel's hand-written VJP is validated in f32;
-            # under the bf16 policy fall back to the XLA loop (still bf16)
-            and x.dtype == jnp.float32
+            # bf16 inputs are fine: the kernel upcasts every operand to f32
+            # at the pallas_call boundary and runs fwd+bwd in f32, so under
+            # the bf16 policy this path is numerically SAFER than the XLA
+            # bf16 loop it used to fall back to (validated in
+            # tests/test_wn_train.py::test_wn_stack_train_bf16_grads)
+            #
             # off-TPU the kernel only exists in interpret mode (orders of
             # magnitude slower than the XLA loop, and now the DEFAULT config
             # enables trainable_fused) — CPU training/tests keep XLA; the

@@ -133,12 +133,17 @@ class Trainer:
         # preemption flag: set by request_stop() / SIGTERM during train()
         self._stop_requested = False
         self._profiling = False
-        # per-step (frame_bucket, wall_seconds) pairs.  NOTE: these are
-        # async DISPATCH times (host-side backpressure), NOT device step
-        # times — the host only truly syncs at log_interval device_gets,
-        # so per-bucket medians here are bucket-independent queue numbers.
-        # Real throughput comes from the logged steps/s.  Bounded deque so
-        # multi-day runs don't grow host memory.
+        # per-step (frame_bucket, dispatch_s, host_wait_s, put_s) tuples:
+        #   dispatch_s  = async step-dispatch wall time on the main thread
+        #                 (host backpressure, NOT device step time — the
+        #                 host only truly syncs at log_interval device_gets;
+        #                 real throughput comes from the logged steps/s)
+        #   host_wait_s = put thread blocked on the collate pipeline
+        #                 (loader-bound indicator)
+        #   put_s       = blocking host→device copy (transfer-bound
+        #                 indicator; overlapped with compute by
+        #                 _device_batches' double-buffering)
+        # Bounded deque so multi-day runs don't grow host memory.
         from collections import deque
 
         self.step_times: "deque" = deque(maxlen=50_000)
@@ -185,6 +190,64 @@ class Trainer:
             device_dsp=self.cfg.train.device_dsp,
         ):
             yield Batch(**raw)
+
+    def _device_batches(self, epoch: int) -> Iterator[tuple]:
+        """Device-side double-buffering: a background thread pulls collated
+        host batches and issues their host→device puts, keeping up to two
+        batches resident ahead of the step loop.
+
+        Why a thread: ``jax.device_put`` BLOCKS the calling thread for the
+        host→device copy (on a tunneled/low-bandwidth link this was ~0.4 s
+        per flagship batch — the round-4 real-trainer bottleneck,
+        BENCH_TRAIN_r04 trainer 2.17 vs harness 10.09 steps/s).  With the
+        put on its own thread, batch k+1 transfers while the main thread
+        dispatches step k and the device computes it — the overlap CUDA
+        streams give the reference for free (reference train.py:76,159-166
+        pin_memory+non_blocking).
+
+        Yields (shape, device_batch, host_wait_s, put_s) where host_wait_s
+        is how long the put thread waited on the collate pipeline (loader-
+        bound indicator) and put_s is the blocking device_put time
+        (transfer-bound indicator).
+        """
+        import queue as _queue
+        import threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=2)
+        sentinel = object()
+        failure: list = []
+
+        def worker():
+            try:
+                it = self._batches(epoch)
+                while True:
+                    t0 = time.perf_counter()
+                    batch = next(it, None)
+                    host_wait = time.perf_counter() - t0
+                    if batch is None:
+                        break
+                    shape = (
+                        batch.wav.shape[1] // self.cfg.data.hop_length,
+                        batch.phonemes.shape[1],
+                    )
+                    t1 = time.perf_counter()
+                    dev = shard_batch(batch, self.mesh)
+                    put_s = time.perf_counter() - t1
+                    q.put((shape, dev, host_wait, put_s))
+            except BaseException as e:  # re-raised on the main thread below
+                failure.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if failure:
+                    raise failure[0]
+                break
+            yield item
 
     def request_stop(self) -> None:
         """Ask the training loop to checkpoint and exit at the next step
@@ -234,8 +297,9 @@ class Trainer:
         import json
 
         by_bucket: dict = {}
-        for t_frames, dt in self.step_times:
-            by_bucket.setdefault(t_frames, []).append(dt)
+        for t_frames, dt, host_wait, put_s in self.step_times:
+            by_bucket.setdefault(t_frames, []).append((dt, host_wait, put_s))
+        split = [(w, p) for _, _, w, p in self.step_times]
         stats = {
             "global_step": self.global_step,
             "compiled_shapes": sorted(self._shapes_seen),
@@ -245,9 +309,26 @@ class Trainer:
             "dispatch_ms_by_bucket": {
                 str(k): {
                     "n": len(v),
-                    "median_ms": round(1e3 * float(np.median(v)), 2),
+                    "median_ms": round(
+                        1e3 * float(np.median([d for d, _, _ in v])), 2),
                 }
                 for k, v in sorted(by_bucket.items())
+            },
+            # per-step input-pipeline split, measured on the put thread
+            # (_device_batches): host_wait = collate/loader stall, put =
+            # blocking H2D copy.  Both OVERLAP device compute via the
+            # double buffer, so they only bound throughput when their sum
+            # exceeds the device step time.
+            "input_pipeline_ms": {
+                "host_wait_median": round(
+                    1e3 * float(np.median([w for w, _ in split])), 2)
+                if split else None,
+                "h2d_put_median": round(
+                    1e3 * float(np.median([p for _, p in split])), 2)
+                if split else None,
+                "h2d_put_p90": round(
+                    1e3 * float(np.percentile([p for _, p in split], 90)), 2)
+                if split else None,
             },
         }
         try:
@@ -278,7 +359,7 @@ class Trainer:
         profile_steps = profile_steps if jax.process_index() == 0 else None
         with self.mesh:
             for epoch in range(start_epoch, cfg.train.epochs):
-                for batch in self._batches(epoch):
+                for shape, batch, host_wait, put_s in self._device_batches(epoch):
                     step = self.global_step
                     if profile_steps is not None:
                         if step >= profile_steps[1]:
@@ -297,10 +378,6 @@ class Trainer:
                         self._save(step)
                         self._checkpointer.wait()  # durable before returning
                         return
-                    shape = (
-                        batch.wav.shape[1] // self.cfg.data.hop_length,
-                        batch.phonemes.shape[1],
-                    )
                     if shape not in self._shapes_seen:
                         self._shapes_seen.add(shape)
                         self.logger.info(
@@ -309,11 +386,11 @@ class Trainer:
                             step, shape[0], shape[1], len(self._shapes_seen),
                             len(self.phoneme_budgets),
                         )
-                    batch = shard_batch(batch, self.mesh)
                     t_step = time.perf_counter()
                     self.state, metrics = self._step_fn(self.state, batch)
                     self.step_times.append(
-                        (shape[0], time.perf_counter() - t_step)
+                        (shape[0], time.perf_counter() - t_step,
+                         host_wait, put_s)
                     )
                     step += 1
                     if step % cfg.train.log_interval == 0 and self.tb is not None:
