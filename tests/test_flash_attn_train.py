@@ -85,6 +85,42 @@ class TestGradients:
                 rtol=5e-4, atol=5e-5, err_msg=name,
             )
 
+    def test_bf16_compute_grads(self):
+        """bf16_compute=True (bf16 matmul operands, f32 softmax/accum — the
+        reduced-precision fast path): forward and grads match the f32
+        kernel to bf16 rounding."""
+        q, k, v, rel_k, rel_v, mask, lengths = make_inputs(T=128)
+        rng = np.random.RandomState(7)
+        wgt = jnp.asarray(rng.randn(*q.shape), jnp.float32) * mask[:, None, :, None]
+
+        def loss(bf16c, q, k, v, rk, rv):
+            out = relative_self_attention_train(
+                q, k, v, rk, rv, mask, jnp.float32(0), 0.0,
+                window=4, block_q=128, interpret=True, bf16_compute=bf16c,
+            )
+            return jnp.sum(out * wgt)
+
+        import functools
+
+        out16 = relative_self_attention_train(
+            q, k, v, rel_k, rel_v, mask, jnp.float32(0), 0.0,
+            window=4, block_q=128, interpret=True, bf16_compute=True)
+        out32 = relative_self_attention_train(
+            q, k, v, rel_k, rel_v, mask, jnp.float32(0), 0.0,
+            window=4, block_q=128, interpret=True, bf16_compute=False)
+        np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                                   rtol=0.05, atol=0.05)
+        g16 = jax.grad(functools.partial(loss, True),
+                       argnums=(0, 1, 2, 3, 4))(q, k, v, rel_k, rel_v)
+        g32 = jax.grad(functools.partial(loss, False),
+                       argnums=(0, 1, 2, 3, 4))(q, k, v, rel_k, rel_v)
+        for name, a, b in zip(("dq", "dk", "dv", "drel_k", "drel_v"),
+                              g16, g32):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale,
+                rtol=0.1, atol=0.05, err_msg=name)
+
     def test_padded_key_columns_get_zero_grad(self):
         """dk/dv at masked key positions must be ~0 (p≈0 there)."""
         q, k, v, rel_k, rel_v, mask, lengths = make_inputs(T=128)

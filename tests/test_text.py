@@ -577,6 +577,62 @@ class TestPolyphone:
             frontends._ZH_LEX_MAXLEN = saved_max
 
 
+class TestG2pBackendSlot:
+    """Alternate zh G2P backend slot (reference zh_frontend.py:60-66,91-121:
+    g2p_model='pypinyin' | 'g2pM').  The slot accepts 'pypinyin', 'g2pM'
+    (gated on the optional package), or any injected callable — here a fake
+    neural backend drives the full jieba→sandhi→phone cascade without
+    pypinyin installed."""
+
+    def teardown_method(self):
+        from vispeech_tpu.text import zh_g2p
+
+        zh_g2p.set_g2p_backend("pypinyin")
+
+    def test_pinyins_to_initials_finals(self):
+        from vispeech_tpu.text.zh_g2p import pinyins_to_initials_finals
+
+        # u: → v (the reference's g2pM post-fix), toneless → tone 5,
+        # apical vowel discrimination, punctuation passthrough
+        i, f = pinyins_to_initials_finals(
+            ["zhong1", "shi4", "nu:3", "de", ","])
+        assert i == ["zh", "sh", "n", "d", ","]
+        assert f == ["ong1", "iii4", "v3", "e5", ","]
+
+    def test_injected_backend_runs_cascade(self):
+        pytest.importorskip("jieba")
+        from vispeech_tpu.text import zh_g2p
+
+        table = {"你": "ni3", "好": "hao3", "世": "shi4", "界": "jie4"}
+
+        def fake_neural_g2p(word):
+            return [table[ch] for ch in word]
+
+        zh_g2p.set_g2p_backend(fake_neural_g2p)
+        assert zh_g2p.get_g2p_backend() == "fake_neural_g2p"
+        phones = zh_g2p.sentence_to_phonemes("你好世界")
+        # third-tone sandhi still applies on top of the backend output
+        # (ni3 hao3 → ni2 hao3)
+        assert phones == ["n", "i2", "h", "ao3", "sh", "iii4", "j", "ie4"]
+
+    def test_unknown_backend_rejected(self):
+        from vispeech_tpu.text.zh_g2p import set_g2p_backend
+
+        with pytest.raises(ValueError, match="unknown zh G2P backend"):
+            set_g2p_backend("bogus")
+
+    def test_g2pm_gated_on_package(self):
+        from vispeech_tpu.text.zh_g2p import set_g2p_backend
+
+        try:
+            import g2pM  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError, match="g2pM"):
+                set_g2p_backend("g2pM")
+        else:  # pragma: no cover - package present
+            set_g2p_backend("g2pM")
+
+
 REFERENCE_JA_DICT = "/root/reference/mfa_temp/ja_dict.dict"
 
 

@@ -128,6 +128,35 @@ class TestWNTrainKernel:
                 rtol=0.1, atol=0.05, err_msg=name,
             )
 
+    def test_bf16_compute_grads(self):
+        """bf16_compute=True (the reduced-precision fast path: bf16 matmul
+        operands, f32 accumulators/carries) — forward and every gradient
+        must match the f32 kernel to bf16 rounding."""
+        x, mask, cond, w_in, w_rs, b_rs, k = make_inputs()
+        proj = jax.random.normal(jax.random.PRNGKey(9), x.shape)
+
+        def loss(bf16c, x, cond, w_in, w_rs, b_rs):
+            out = wn_stack_train(x, mask, cond, w_in, w_rs, b_rs, k,
+                                 True, bf16c)  # interpret, bf16_compute
+            return jnp.sum(out * proj)
+
+        import functools
+
+        g16 = jax.grad(functools.partial(loss, True),
+                       argnums=(0, 1, 2, 3, 4))(x, cond, w_in, w_rs, b_rs)
+        g32 = jax.grad(functools.partial(loss, False),
+                       argnums=(0, 1, 2, 3, 4))(x, cond, w_in, w_rs, b_rs)
+        out16 = wn_stack_train(x, mask, cond, w_in, w_rs, b_rs, k, True, True)
+        out32 = wn_stack_train(x, mask, cond, w_in, w_rs, b_rs, k, True, False)
+        np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                                   rtol=0.05, atol=0.05)
+        for name, a, b in zip(["dx", "dcond", "dw_in", "dw_rs", "db_rs"],
+                              g16, g32):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale,
+                rtol=0.1, atol=0.05, err_msg=name)
+
     def test_vjp_last_layer_skip_grad_zero(self):
         """The dead [:, C:] half of the last layer's res_skip weights must
         receive exactly zero gradient (they don't affect the output)."""

@@ -110,8 +110,37 @@ def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     return hdr + data
 
 
-def make_handler(engine, lock: threading.Lock):
+def make_handler(engine, lock: threading.Lock, coalescer=None):
+    """``coalescer`` (infer/coalescer.RequestCoalescer): when given, TTS
+    requests are queued and coalesced into device batches instead of being
+    refused with 503 while another request runs — the capability upgrade
+    over the reference's serial mutex (reference inference_api.py:35-40).
+    Voice conversion keeps the mutex (spec-length-dependent shapes batch
+    poorly)."""
+
     class Handler(BaseHTTPRequestHandler):
+        def _synthesize(self, phones, kwargs):
+            """(out, error_response): coalesced when enabled, else mutex."""
+            if coalescer is not None:
+                from vispeech_tpu.infer.coalescer import ServerBusy
+
+                try:
+                    return coalescer.submit(phones, **kwargs), None
+                except ServerBusy as e:
+                    return None, (503, {"error": str(e)})
+                except TimeoutError as e:
+                    return None, (503, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    return None, (500, {"error": str(e)})
+            if not lock.acquire(blocking=False):
+                return None, (503, {"error": "server busy"})
+            try:
+                return engine.synthesize(phones=phones, **kwargs), None
+            except Exception as e:  # noqa: BLE001
+                return None, (500, {"error": str(e)})
+            finally:
+                lock.release()
+
         def _send(self, code: int, body: bytes, ctype: str):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
@@ -215,14 +244,9 @@ def make_handler(engine, lock: threading.Lock):
                         raise ValueError("text produced no phonemes")
                 except Exception as e:  # noqa: BLE001
                     return self._json(400, {"error": f"text frontend: {e}"})
-            if not lock.acquire(blocking=False):
-                return self._json(503, {"error": "server busy"})
-            try:
-                out = engine.synthesize(phones=phones, **kwargs)
-            except Exception as e:  # noqa: BLE001
-                return self._json(500, {"error": str(e)})
-            finally:
-                lock.release()
+            out, err = self._synthesize(phones, kwargs)
+            if err is not None:
+                return self._json(*err)
             audio, sr = out["audio"], out["sampling_rate"]
             if sr_out is not None and sr_out != sr:
                 from vispeech_tpu.dsp.resample import resample
@@ -265,14 +289,9 @@ def make_handler(engine, lock: threading.Lock):
                     raise ValueError("text produced no phonemes")
             except Exception as e:  # noqa: BLE001
                 return self._json(400, {"error": f"text frontend: {e}"})
-            if not lock.acquire(blocking=False):
-                return self._json(503, {"error": "server busy"})
-            try:
-                out = engine.synthesize(phones=phones, **kwargs)
-            except Exception as e:  # noqa: BLE001
-                return self._json(500, {"error": str(e)})
-            finally:
-                lock.release()
+            out, err = self._synthesize(phones, kwargs)
+            if err is not None:
+                return self._json(*err)
             if url.path == "/tts.json":
                 return self._json(200, {
                     "sampling_rate": out["sampling_rate"],
@@ -299,10 +318,23 @@ def make_handler(engine, lock: threading.Lock):
     return Handler
 
 
-def serve(engine, host: str = "0.0.0.0", port: int = 7860):
+def serve(engine, host: str = "0.0.0.0", port: int = 7860,
+          batch_window_ms: float = 20.0, max_batch: int = 16):
+    """``batch_window_ms > 0`` (default): coalesce concurrent TTS requests
+    into device batches (infer/coalescer.py); 0 = legacy serial mutex with
+    503 on contention (the reference's behavior)."""
     lock = threading.Lock()
-    httpd = ThreadingHTTPServer((host, port), make_handler(engine, lock))
-    print(f"serving on http://{host}:{port}/tts?text=...")
+    coalescer = None
+    if batch_window_ms > 0:
+        from vispeech_tpu.infer.coalescer import RequestCoalescer
+
+        coalescer = RequestCoalescer(
+            engine, window_ms=batch_window_ms, max_batch=max_batch)
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(engine, lock, coalescer=coalescer))
+    mode = (f"coalescing (window {batch_window_ms} ms, max_batch {max_batch})"
+            if coalescer else "serial mutex")
+    print(f"serving on http://{host}:{port}/tts?text=... [{mode}]")
     httpd.serve_forever()
 
 
@@ -312,6 +344,9 @@ def main():
     p.add_argument("-k", "--ckpt-dir", required=True)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--batch-window-ms", type=float, default=20.0,
+                   help="request-coalescing window; 0 = serial mutex mode")
+    p.add_argument("--max-batch", type=int, default=16)
     from vispeech_tpu.utils.platform import add_platform_arg, apply_platform
 
     add_platform_arg(p)
@@ -321,7 +356,8 @@ def main():
     from vispeech_tpu.infer.pipeline import TTSEngine
 
     engine = TTSEngine.from_checkpoint(args.config, args.ckpt_dir)
-    serve(engine, args.host, args.port)
+    serve(engine, args.host, args.port,
+          batch_window_ms=args.batch_window_ms, max_batch=args.max_batch)
 
 
 if __name__ == "__main__":

@@ -213,6 +213,9 @@ class MultiHeadAttention(nn.Module):
                 window=self.window_size,
                 block_q=block_q,
                 interpret=jax.default_backend() != "tpu",
+                # bf16 policy: bf16 matmul operands inside the kernel at the
+                # doubled MXU rate; softmax/accumulators stay f32
+                bf16_compute=qh.dtype == jnp.bfloat16,
             )
             out = out.transpose(0, 2, 1, 3).reshape(B, T_t, self.channels)
             return Conv1d(

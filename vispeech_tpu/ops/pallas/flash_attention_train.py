@@ -70,21 +70,30 @@ def _fwd_kernel(
     window: int,
     block_q: int,
     rate: float,
+    compute_dtype=jnp.float32,
 ):
+    # compute_dtype=bfloat16 under the reduced-precision policy: matmul
+    # OPERANDS run at the bf16 MXU rate; softmax, lse, and every
+    # accumulation stay f32 (preferred_element_type) — the standard
+    # mixed-precision flash-attention arrangement.
+    cd = compute_dtype
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     q = q_ref[0] * scale                      # [BQ, d]
     k = k_ref[0]                              # [T, d]
     v = v_ref[0]                              # [T, d]
     t_total = k.shape[0]
+    qc = q.astype(cd)
 
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qc, k.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32
     )                                         # [BQ, T]
 
     relk = relk_ref[0]                        # [W, d]
     q_rel = jax.lax.dot_general(
-        q, relk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qc, relk.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32
     )                                         # [BQ, W]
     row = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_total), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_total), 1)
@@ -107,7 +116,8 @@ def _fwd_kernel(
         p = p * _dropout_keep(p.shape, rate) * (1.0 / (1.0 - rate))
 
     out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(cd), v.astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32
     )                                         # [BQ, d]
 
     relv = relv_ref[0]                        # [W, d]
@@ -139,7 +149,9 @@ def _bwd_kernel(
     window: int,
     block_q: int,
     rate: float,
+    compute_dtype=jnp.float32,
 ):
+    cd = compute_dtype  # bf16 matmul operands, f32 accumulators (see fwd)
     bh = pl.program_id(0)
     W = 2 * window + 1
     k = k_ref[0]                              # [T, d]
@@ -160,12 +172,13 @@ def _bwd_kernel(
         do = do_ref[0, pl.ds(qi * block_q, block_q), :]          # [BQ, d]
         lse = lse_ref[0, pl.ds(qi * block_q, block_q), 0]        # [BQ]
 
+        qc = qs.astype(cd)
         scores = jax.lax.dot_general(
-            qs, k, (((1,), (1,)), ((), ())),
+            qc, k.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [BQ, T]
         q_rel = jax.lax.dot_general(
-            qs, relk, (((1,), (1,)), ((), ())),
+            qc, relk.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [BQ, W]
         diff = col - (row + qi * block_q)
@@ -184,12 +197,13 @@ def _bwd_kernel(
             pd = p
 
         # dL/d(pd): the pd·V matmul plus the banded rel_v correction
+        doc = do.astype(cd)
         dpd = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
+            doc, v.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [BQ, T]
         do_relv = jax.lax.dot_general(
-            do, relv, (((1,), (1,)), ((), ())),
+            doc, relv.astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [BQ, W]
         # drel_v[δ] += Σ_t pd[t, t+δ] · dO[t] — all W diagonals in one matmul
@@ -199,13 +213,13 @@ def _bwd_kernel(
             dpd = dpd + band * do_relv[:, d_off + window][:, None]
             pd_diags.append(jnp.sum(pd * band, axis=-1))         # [BQ]
         drelv_acc = drelv_acc + jax.lax.dot_general(
-            jnp.stack(pd_diags, 0), do, (((1,), (0,)), ((), ())),
+            jnp.stack(pd_diags, 0).astype(cd), doc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [W, d]
 
         # dv += pdᵀ · dO
         dv_acc = dv_acc + jax.lax.dot_general(
-            pd, do, (((0,), (0,)), ((), ())),
+            pd.astype(cd), doc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -215,8 +229,9 @@ def _bwd_kernel(
         ds = p * (dp - dsum)                                     # [BQ, T]
 
         # dq(scaled) = ds·K + banded rel_k term; un-scale at the end
+        dsc = ds.astype(cd)
         dqs = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            dsc, k.astype(cd), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [BQ, d]
         ds_diags = []
@@ -227,7 +242,7 @@ def _bwd_kernel(
             ds_diags.append(ds_diag)
         # drel_k[δ] += Σ_t ds[t, t+δ] · q̂[t]
         drelk_acc = drelk_acc + jax.lax.dot_general(
-            jnp.stack(ds_diags, 0), qs, (((1,), (0,)), ((), ())),
+            jnp.stack(ds_diags, 0).astype(cd), qc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [W, d]
 
@@ -235,7 +250,7 @@ def _bwd_kernel(
 
         # dk += dsᵀ · q̂
         dk_acc = dk_acc + jax.lax.dot_general(
-            ds, qs, (((0,), (0,)), ((), ())),
+            dsc, qc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return dk_acc, dv_acc, drelk_acc, drelv_acc
@@ -271,7 +286,7 @@ def _prep(q, k, v, key_mask, block_q):
     return qf, kf, vf, maskf, Tp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def relative_self_attention_train(
     q: Array,          # [B, H, T, d]
     k: Array,
@@ -284,14 +299,19 @@ def relative_self_attention_train(
     window: int = 4,
     block_q: int = 128,
     interpret: bool = False,
+    bf16_compute: bool = False,
 ) -> Array:
+    """``bf16_compute``: matmul operands at the bf16 MXU rate inside both
+    kernels; softmax/lse/accumulators stay f32 (standard mixed-precision
+    flash attention).  Gradients match the f32 kernel to bf16 rounding
+    (tests/test_flash_attn_train.py::test_bf16_compute_grads)."""
     out, _ = _fwd(q, k, v, rel_k, rel_v, key_mask, seed,
-                  rate, window, block_q, interpret)
+                  rate, window, block_q, interpret, bf16_compute)
     return out
 
 
 def _fwd(q, k, v, rel_k, rel_v, key_mask, seed, rate, window, block_q,
-         interpret):
+         interpret, bf16_compute=False):
     import math
 
     B, H, T, d = q.shape
@@ -307,10 +327,11 @@ def _fwd(q, k, v, rel_k, rel_v, key_mask, seed, rate, window, block_q,
     rel_map = (lambda bh, qi, H=H, n_rel=n_rel:
                ((bh % H) if n_rel > 1 else 0, 0, 0))
 
+    cd = jnp.bfloat16 if bf16_compute else jnp.float32
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, window=window, block_q=block_q,
-            rate=rate,
+            rate=rate, compute_dtype=cd,
         ),
         grid=grid,
         in_specs=[
@@ -345,7 +366,7 @@ def _fwd(q, k, v, rel_k, rel_v, key_mask, seed, rate, window, block_q,
     return o, res
 
 
-def _bwd(rate, window, block_q, interpret, res, g):
+def _bwd(rate, window, block_q, interpret, bf16_compute, res, g):
     import math
 
     q, k, v, rel_k, rel_v, key_mask, seed, lse = res
@@ -367,10 +388,11 @@ def _bwd(rate, window, block_q, interpret, res, g):
     rel_map1 = (lambda bh, H=H, n_rel=n_rel:
                 ((bh % H) if n_rel > 1 else 0, 0, 0))
 
+    cd = jnp.bfloat16 if bf16_compute else jnp.float32
     dq, dk, dv, drelk_p, drelv_p = pl.pallas_call(
         functools.partial(
             _bwd_kernel, scale=scale, window=window, block_q=block_q,
-            rate=rate,
+            rate=rate, compute_dtype=cd,
         ),
         grid=grid,
         in_specs=[

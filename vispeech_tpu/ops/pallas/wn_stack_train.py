@@ -58,7 +58,15 @@ def _fwd_kernel(
     *,
     kernel_size: int,
     channels: int,
+    compute_dtype=jnp.float32,
 ):
+    # compute_dtype=bfloat16 under the reduced-precision policy: matmul
+    # OPERANDS are cast to bf16 (2x MXU rate on TPU) while every
+    # accumulator — acts, the residual carry, the skip sum, the gate — stays
+    # f32 (preferred_element_type).  This is what makes bf16 training
+    # actually faster than f32 (VERDICT r5: the old all-f32 kernel under
+    # bf16 params measured 9.7 steps/s vs 10.0 f32 — no harvest).
+    cd = compute_dtype
     l = pl.program_id(1)
     n_layers = pl.num_programs(1)
     C = channels
@@ -75,13 +83,13 @@ def _fwd_kernel(
     for tap in range(kernel_size):
         xs = _shift_rows(xc, tap - kernel_size // 2, T, C)
         acts = acts + jax.lax.dot_general(
-            xs, w_in_ref[0, tap],
+            xs.astype(cd), w_in_ref[0, tap].astype(cd),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     z = jnp.tanh(acts[:, :C]) * jax.nn.sigmoid(acts[:, C:])
     rs = jax.lax.dot_general(
-        z, w_rs_ref[0], (((1,), (0,)), ((), ())),
+        z.astype(cd), w_rs_ref[0].astype(cd), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b_rs_ref[0, 0][None, :]
     m = mask_ref[0, :, 0][:, None]
@@ -112,7 +120,9 @@ def _bwd_kernel(
     *,
     kernel_size: int,
     channels: int,
+    compute_dtype=jnp.float32,
 ):
+    cd = compute_dtype  # bf16 matmul operands, f32 accumulators (see fwd)
     i = pl.program_id(1)          # 0 .. L-1, layer l = L-1-i (index maps)
     C = channels
     T = dout_ref.shape[1]
@@ -125,7 +135,7 @@ def _bwd_kernel(
     for tap in range(kernel_size):
         xsh = _shift_rows(x_l, tap - kernel_size // 2, T, C)
         acts = acts + jax.lax.dot_general(
-            xsh, w_in_ref[0, tap],
+            xsh.astype(cd), w_in_ref[0, tap].astype(cd),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -142,13 +152,13 @@ def _bwd_kernel(
     d_rs = jnp.concatenate([dres, dskip], axis=1)  # [T, 2C]
 
     dwrs_ref[0, 0] = jax.lax.dot_general(
-        z, d_rs, (((0,), (0,)), ((), ())),
+        z.astype(cd), d_rs.astype(cd), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dbrs_ref[0, 0, 0] = jnp.sum(d_rs, axis=0)
 
     dz = jax.lax.dot_general(
-        d_rs, w_rs_ref[0], (((1,), (1,)), ((), ())),
+        d_rs.astype(cd), w_rs_ref[0].astype(cd), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     da1 = dz * s_ * (1.0 - t_ * t_)
@@ -158,15 +168,16 @@ def _bwd_kernel(
 
     # ---- conv grads: weight partial + input grad (transposed shifts)
     dx_conv = jnp.zeros((T, C), jnp.float32)
+    dacts_c = dacts.astype(cd)
     for tap in range(kernel_size):
         s = tap - kernel_size // 2
         xsh = _shift_rows(x_l, s, T, C)
         dwin_ref[0, 0, tap] = jax.lax.dot_general(
-            xsh, dacts, (((0,), (0,)), ((), ())),
+            xsh.astype(cd), dacts_c, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         contrib = jax.lax.dot_general(
-            dacts, w_in_ref[0, tap], (((1,), (1,)), ((), ())),
+            dacts_c, w_in_ref[0, tap].astype(cd), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dx_conv = dx_conv + _shift_rows(contrib, -s, T, C)
@@ -188,7 +199,7 @@ def _pad_time(x: Array, mask: Array, Tp: int):
     return x, mask
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def wn_stack_train(
     x: Array,        # [B, T, C]
     mask: Array,     # [B, T, 1]
@@ -198,19 +209,28 @@ def wn_stack_train(
     b_rs: Array,     # [L, 1, 2C]
     kernel_size: int,
     interpret: bool = False,
+    bf16_compute: bool = False,
 ) -> Array:
-    out, _ = _fwd(x, mask, cond, w_in, w_rs, b_rs, kernel_size, interpret)
+    """``bf16_compute``: cast matmul OPERANDS to bf16 inside the kernel
+    (2x MXU rate) while all accumulators/carries stay f32 — the shipped
+    reduced-precision policy's fast path.  Gradients match the f32 kernel
+    to bf16 rounding (tests/test_wn_train.py::test_bf16_compute_grads)."""
+    out, _ = _fwd(x, mask, cond, w_in, w_rs, b_rs, kernel_size, interpret,
+                  bf16_compute)
     return out
 
 
-def _fwd(x, mask, cond, w_in, w_rs, b_rs, kernel_size, interpret):
+def _fwd(x, mask, cond, w_in, w_rs, b_rs, kernel_size, interpret,
+         bf16_compute=False):
     B, T, C = x.shape
     L = w_in.shape[0]
     Tp = _round_up(T, 8)
     xp, maskp = _pad_time(x, mask, Tp)
+    cd = jnp.bfloat16 if bf16_compute else jnp.float32
 
     out, xs = pl.pallas_call(
-        functools.partial(_fwd_kernel, kernel_size=kernel_size, channels=C),
+        functools.partial(_fwd_kernel, kernel_size=kernel_size, channels=C,
+                          compute_dtype=cd),
         grid=(B, L),
         in_specs=[
             pl.BlockSpec((1, Tp, C), lambda b, l: (b, 0, 0),
@@ -262,7 +282,7 @@ def _fwd(x, mask, cond, w_in, w_rs, b_rs, kernel_size, interpret):
     return out[:, :T].astype(x.dtype), residuals
 
 
-def _bwd(kernel_size, interpret, residuals, dout):
+def _bwd(kernel_size, interpret, bf16_compute, residuals, dout):
     xs, mask, cond, w_in, w_rs, dtype_token = residuals
     B, L, Tp, C = xs.shape
     T = mask.shape[1]
@@ -272,9 +292,11 @@ def _bwd(kernel_size, interpret, residuals, dout):
     dout = dout.astype(jnp.float32)
     if Tp != T:
         dout = jnp.pad(dout, ((0, 0), (0, Tp - T), (0, 0)))
+    cd = jnp.bfloat16 if bf16_compute else jnp.float32
 
     dx, dcond, dwin_p, dwrs_p, dbrs_p = pl.pallas_call(
-        functools.partial(_bwd_kernel, kernel_size=kernel_size, channels=C),
+        functools.partial(_bwd_kernel, kernel_size=kernel_size, channels=C,
+                          compute_dtype=cd),
         grid=(B, L),
         in_specs=[
             pl.BlockSpec((1, Tp, C), lambda b, i: (b, 0, 0),

@@ -151,6 +151,9 @@ class WN(nn.Module):
             return wn_stack_train(
                 x, x_mask, cond, w_in, w_rs, b_rs, self.kernel_size,
                 interpret=jax.default_backend() != "tpu",
+                # bf16 policy: matmul operands at bf16 MXU rate inside the
+                # kernel, accumulators/carries f32 (wn_stack_train docstring)
+                bf16_compute=x.dtype == jnp.bfloat16,
             ).astype(x.dtype)
         return wn_stack(
             x, x_mask, cond, w_in, w_rs, b_rs, self.kernel_size,

@@ -59,6 +59,7 @@ def ring_relative_self_attention(
     axis_name: str,
     p_size: int,
     window: int = 4,
+    vary_axes: Optional[tuple] = None,
 ) -> Array:
     """Inside shard_map: exact masked softmax attention with relative bias,
     sequence sharded over `axis_name`.  Returns the local output chunk."""
@@ -99,8 +100,11 @@ def ring_relative_self_attention(
         m_blk = jax.lax.ppermute(m_blk, axis_name, perm)
         return (k_blk, v_blk, m_blk, m_new, l_new, acc, acc_band)
 
-    def vary(x):  # tag fresh accumulators as varying over the ring axis
-        return jax.lax.pcast(x, axis_name, to="varying")
+    def vary(x):
+        # tag fresh accumulators as varying over the ring axis AND any other
+        # manual axis the inputs vary over (e.g. a 'data' batch axis on a
+        # composed mesh) — the loop carry's vma types must match its outputs
+        return jax.lax.pcast(x, vary_axes or (axis_name,), to="varying")
 
     init = (
         k, v, key_mask,
@@ -119,27 +123,39 @@ def ring_relative_self_attention(
     return out
 
 
-def make_ring_attention(mesh: Mesh, axis_name: str = "context", window: int = 4):
+def make_ring_attention(
+    mesh: Mesh,
+    axis_name: str = "context",
+    window: int = 4,
+    batch_axis: Optional[str] = None,
+):
     """shard_map-wrapped ring attention: full arrays in, full arrays out,
-    frame axis sharded over `axis_name`."""
+    frame axis sharded over `axis_name`.
+
+    ``batch_axis``: optionally also shard the batch dim over another mesh
+    axis (data-parallel serving composed with context parallelism on ONE
+    mesh — north-star config-5; the ring's ppermute then runs per
+    data-slice concurrently)."""
+    b = batch_axis
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(None, None, axis_name, None),
-            P(None, None, axis_name, None),
-            P(None, None, axis_name, None),
+            P(b, None, axis_name, None),
+            P(b, None, axis_name, None),
+            P(b, None, axis_name, None),
             P(),
             P(),
-            P(None, axis_name),
+            P(b, axis_name),
         ),
-        out_specs=P(None, None, axis_name, None),
+        out_specs=P(b, None, axis_name, None),
     )
     def fn(q, k, v, rel_k, rel_v, key_mask):
         return ring_relative_self_attention(
             q, k, v, rel_k, rel_v, key_mask, axis_name,
             p_size=mesh.shape[axis_name], window=window,
+            vary_axes=(axis_name,) + ((b,) if b else ()),
         )
 
     return fn
@@ -156,6 +172,7 @@ def make_generator_context_parallel(
     hop_length: int,
     axis_name: str = "context",
     halo: int = GENERATOR_HALO_FRAMES,
+    batch_axis: Optional[str] = None,
 ):
     """Overlap-save time-sharded vocoder.
 
@@ -187,9 +204,10 @@ def make_generator_context_parallel(
         audio = generator_apply(z_ext, g)  # [B, T_ext*hop, 1]
         return audio[:, halo * hop_length : -halo * hop_length]
 
+    b = batch_axis
     return functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, axis_name, None), P()),
-        out_specs=P(None, axis_name, None),
+        in_specs=(P(b, axis_name, None), P(b, None, None)),
+        out_specs=P(b, axis_name, None),
     )(local_fn)

@@ -211,7 +211,14 @@ class ToneSandhi:
     # Segment pre-merging
     # ------------------------------------------------------------------
 
+    # injectable word→finals hook: zh_g2p.set_g2p_backend points this at
+    # the active alternate backend so segment pre-merging consults the SAME
+    # G2P the phones come from (None = pypinyin, the reference default)
+    finals_fn = None
+
     def _word_finals(self, word: str) -> List[str]:
+        if ToneSandhi.finals_fn is not None:
+            return ToneSandhi.finals_fn(word)
         from pypinyin import Style, lazy_pinyin
 
         return lazy_pinyin(word, neutral_tone_with_five=True, style=Style.FINALS_TONE3)

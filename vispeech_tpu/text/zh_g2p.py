@@ -27,6 +27,90 @@ NOT_ERHUA = {
 _sandhi = ToneSandhi()
 _initialized = False
 
+# ---------------------------------------------------------------- backends
+# Word-level G2P backend slot (reference zh_frontend.py:60-66,91-121: the
+# frontend is constructed with g2p_model="pypinyin" OR "g2pM", a neural
+# polyphone-disambiguation model).  Protocol: fn(word) -> list of tone3
+# pinyin syllables, one per hanzi character.  "pypinyin" stays the default
+# (as in the reference); "g2pM" is gated on the optional g2pM package; any
+# callable can be injected for custom/neural backends (tests inject a fake).
+_g2p_backend: str = "pypinyin"
+_g2p_backend_fn = None  # word -> List[str] tone3 pinyins (non-pypinyin)
+
+
+def set_g2p_backend(backend) -> None:
+    """Select the Mandarin word→pinyin backend.
+
+    ``backend``: ``"pypinyin"`` (default), ``"g2pM"`` (requires the g2pM
+    package — ImportError with guidance if absent), or any callable
+    ``word -> List[str]`` of tone3 pinyin syllables (one per character).
+    """
+    global _g2p_backend, _g2p_backend_fn
+    if backend == "pypinyin":
+        _g2p_backend, _g2p_backend_fn = "pypinyin", None
+        ToneSandhi.finals_fn = None
+        return
+    if backend == "g2pM":
+        try:
+            from g2pM import G2pM  # type: ignore
+        except ImportError as e:  # pragma: no cover - optional dep
+            raise ImportError(
+                "g2pM backend requires the g2pM package (pip install g2pM); "
+                "the default pypinyin backend needs no extra install"
+            ) from e
+        model = G2pM()
+        fn = lambda word: model(word, tone=True, char_split=False)  # noqa: E731
+        _g2p_backend, _g2p_backend_fn = "g2pM", fn
+    elif callable(backend):
+        _g2p_backend = getattr(backend, "__name__", "custom")
+        _g2p_backend_fn = backend
+    else:
+        raise ValueError(
+            f"unknown zh G2P backend {backend!r}: expected 'pypinyin', "
+            "'g2pM', or a callable word -> tone3-pinyin list")
+    # sandhi's segment pre-merge consults word finals: point it at the same
+    # backend so tone decisions match the emitted phones
+    ToneSandhi.finals_fn = (
+        lambda word: pinyins_to_initials_finals(_g2p_backend_fn(word))[1]
+    )
+
+
+def get_g2p_backend() -> str:
+    return _g2p_backend
+
+
+def pinyins_to_initials_finals(
+    pinyins: List[str],
+) -> Tuple[List[str], List[str]]:
+    """Tone3 pinyin syllables → (initials, finals) with the ü→v and
+    apical-vowel conventions (the reference's pinyin2phone lexicon lookup,
+    zh_frontend.py:106-121, computed by rule via text/pinyin.py).
+    Non-pinyin tokens (punctuation the model echoes back) pass through as
+    their own 'final' with an empty initial, exactly as the reference does.
+    """
+    from vispeech_tpu.text.pinyin import pinyin_syllable_to_phones
+
+    initials: List[str] = []
+    finals: List[str] = []
+    for p in pinyins:
+        p = p.replace("u:", "v")
+        if p and p.isalpha():  # toneless neutral reading → explicit tone 5
+            p = p + "5"
+        try:
+            phones = pinyin_syllable_to_phones(p)
+        except (ValueError, KeyError):
+            phones = None
+        if phones and len(phones) == 2:
+            initials.append(phones[0])
+            finals.append(phones[1])
+        elif phones and len(phones) == 1:
+            initials.append("")
+            finals.append(phones[0])
+        else:  # not pinyin (e.g. punctuation): passthrough
+            initials.append(p)
+            finals.append(p)
+    return initials, finals
+
 
 def _init_pypinyin() -> None:
     """One-time pypinyin dictionary tweaks (reference zh_frontend.py:71-86)."""
@@ -95,7 +179,8 @@ def sentence_to_phonemes(sentence: str, with_erhua: bool = False) -> List[str]:
     """One normalized sentence → phones."""
     import jieba.posseg as psg
 
-    _init_pypinyin()
+    if _g2p_backend_fn is None:  # alternate backends don't need pypinyin
+        _init_pypinyin()
     sentence = re.sub("[a-zA-Z]+", "", sentence)
     seg = [(w, p) for w, p in psg.lcut(sentence)]
     seg = _sandhi.pre_merge_for_modify(seg)
@@ -103,7 +188,10 @@ def sentence_to_phonemes(sentence: str, with_erhua: bool = False) -> List[str]:
     for word, pos in seg:
         if pos == "eng":
             continue
-        initials, finals = word_to_initials_finals(word)
+        if _g2p_backend_fn is not None:
+            initials, finals = pinyins_to_initials_finals(_g2p_backend_fn(word))
+        else:
+            initials, finals = word_to_initials_finals(word)
         finals = _sandhi.modified_tone(word, pos, finals)
         if with_erhua:
             initials, finals = _merge_erhua(initials, finals, word, pos)
