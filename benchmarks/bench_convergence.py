@@ -32,13 +32,15 @@ import numpy as np
 
 
 def flagship_config(root: str, fp16: bool, batch_size: int, lr: float,
-                    bf16_scope: str = "tail_f32", fused_attn: bool = True):
+                    bf16_scope: str = "tail_f32", fused_attn: bool = True,
+                    bf16_disc: bool = False):
     from vispeech_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
     return Config(
         train=TrainConfig(
             seed=0, batch_size=batch_size, fp16_run=fp16, segment_size=16384,
             learning_rate=lr, bf16_scope=bf16_scope, fused_attn=fused_attn,
+            bf16_disc=bf16_disc,
             # this harness IS the A/B diagnostic tool for the legacy scopes
             bf16_allow_divergent=bf16_scope in ("stable", "full"),
         ),
@@ -65,6 +67,9 @@ def main():
     p.add_argument("--bf16-full", action="store_true",
                    help="everything-bf16 scope (known to destabilize the GAN; "
                         "kept for A/B — see config.TrainConfig.bf16_scope)")
+    p.add_argument("--bf16-disc", action="store_true",
+                   help="discriminators in bf16 (composes with tail_f32; "
+                        "the fastest measured converging config)")
     p.add_argument("--no-fused-attn", dest="fused_attn", action="store_false",
                    default=True,
                    help="XLA training attention (A/B vs the fused kernel)")
@@ -93,6 +98,8 @@ def main():
              else "stable" if args.bf16_stable else "tail_f32")
     tag = (f"bf16_{scope}" if scope != "tail_f32" else "bf16") \
         if args.bf16 else "fp32"
+    if args.bf16_disc:
+        tag += "_disc"
     if not args.fused_attn:
         tag += "_xla_attn"
     os.makedirs(args.out_dir, exist_ok=True)
@@ -102,7 +109,8 @@ def main():
         dur_range=(4, 10), seed=0,
     )
     cfg = flagship_config(root, args.bf16, args.batch, args.lr,
-                          bf16_scope=scope, fused_attn=args.fused_attn)
+                          bf16_scope=scope, fused_attn=args.fused_attn,
+                          bf16_disc=args.bf16_disc)
     d = cfg.data
 
     ds = FilelistDataset(cfg.data.training_files, cfg.data,

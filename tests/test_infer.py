@@ -287,7 +287,10 @@ class TestBatchPlanning:
                          tiers=(16,)),
             frames)
         assert tiered["padding_efficiency"] > single["padding_efficiency"]
-        assert tiered["padding_efficiency"] >= 0.8  # round-4 target
+        # round-5: the tier ladder reaches 1, so no batch carries dummy rows
+        # and efficiency clears the >=0.85 VERDICT target (measured 0.94)
+        assert tiered["dummy_rows"] == 0
+        assert tiered["padding_efficiency"] >= 0.85
 
     def test_bucket_rounding_above_range(self):
         from vispeech_tpu.infer.batching import pick_bucket

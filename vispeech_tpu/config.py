@@ -81,7 +81,12 @@ class TrainConfig:
     # bf16 collapse (benchmarks/artifacts/bf16_diag/ANALYSIS.md) was the
     # ASYMMETRY of a quantized fake vs continuous real waveform; a bf16 D
     # quantizes both inputs identically at its first conv, so this composes
-    # with tail_f32 — validated by its own convergence run before shipping.
+    # with tail_f32.  Round-5 evidence: converges (mel ×0.44 @1500 steps,
+    # convergence_bf16_disc.json) and is the fastest measured training
+    # configuration — 11.82 steps/s vs 10.02 f32 at flagship shape
+    # (benchmarks/artifacts/bf16_payoff_analysis.md).  Recommended with
+    # fp16_run; kept opt-in so fp16_run alone stays the exact round-4
+    # validated policy.
     bf16_disc: bool = False
 
     def effective_bf16_stages(self) -> Tuple[str, ...]:

@@ -32,7 +32,13 @@ SERVING_BUCKETS: Tuple[int, ...] = (
     896, 1024, 1152, 1280, 1400,
 )
 
-DEFAULT_TIERS: Tuple[int, ...] = (16, 8, 4)
+# Tiers reach down to 1 so NO batch ever carries dummy rows (round-5: the
+# r4 tier floor of 4 left up to 3 dummy rows per bucket remainder, and that
+# was most of the remaining padding waste — measured on the lognormal
+# request mix: efficiency 0.815 → 0.940 with identical buckets).  Compile
+# cost stays bounded: shapes are compiled lazily per (bucket, tier) pair
+# actually used.
+DEFAULT_TIERS: Tuple[int, ...] = (16, 8, 4, 2, 1)
 
 
 def pick_bucket(n_frames: int, buckets: Sequence[int] = SERVING_BUCKETS) -> int:
