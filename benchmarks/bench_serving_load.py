@@ -121,6 +121,12 @@ def main():
 
     import jax
 
+    # persistent compile cache (many lazy (bucket, tier) infer shapes)
+    cache_dir = os.environ.get("VISPEECH_JAX_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "vispeech", "jax")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from vispeech_tpu.config import Config
     from vispeech_tpu.infer.pipeline import TTSEngine
     from vispeech_tpu.models import Synthesizer

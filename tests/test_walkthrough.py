@@ -34,9 +34,11 @@ def test_walkthrough_end_to_end(tmp_path):
     for name in summary["artifacts"]:
         data = (out_dir / name).read_bytes()
         assert data[:4] == b"RIFF" and len(data) > 100, name
-    # the prosody-edit loop really shifted F0 by +4 semitones
+    # the prosody-edit loop really shifted F0 by +4 semitones (a barely
+    # trained model can predict NEGATIVE F0 — compare products, not ratios)
     import numpy as np
 
-    ratio = (np.asarray(summary["f0_edited_hz"])
-             / np.maximum(np.asarray(summary["f0_pred_hz"]), 1e-6))
-    np.testing.assert_allclose(ratio, 2.0 ** (4.0 / 12.0), rtol=1e-3)
+    pred = np.asarray(summary["f0_pred_hz"])
+    edited = np.asarray(summary["f0_edited_hz"])
+    np.testing.assert_allclose(
+        edited, pred * 2.0 ** (4.0 / 12.0), rtol=1e-3, atol=1e-2)
