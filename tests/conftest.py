@@ -27,6 +27,12 @@ import jax  # noqa: E402
 
 if _TEST_PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU tier: f32 matmuls on TPU default to fast bf16 passes (~6e-3
+    # error), which breaks the torch-oracle / XLA-parity tolerances that
+    # CPU runs exactly.  The tier tests CORRECTNESS, so pin exact f32
+    # matmuls; perf benches use the production default separately.
+    jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the GAN train step / trainer tests spend

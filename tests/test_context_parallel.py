@@ -16,6 +16,13 @@ from vispeech_tpu.parallel.context import (
 )
 from tests.test_pallas_kernels import xla_reference
 
+# the parallelism tests exercise an 8-way virtual CPU mesh (conftest); the
+# single-chip TPU tier cannot host them — multi-chip coverage stays on the
+# CPU tier + the driver's dryrun_multichip
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh")
+
+
 
 def context_mesh(n=4):
     return Mesh(np.array(jax.devices()[:n]), axis_names=("context",))

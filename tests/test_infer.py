@@ -49,7 +49,20 @@ def engine():
         jnp.zeros((B,), jnp.int32),
         deterministic=True,
     )
-    return TTSEngine(cfg, variables)
+    # These tests assert ROUTING (speaker/controls flow end-to-end), so the
+    # engine is pinned to the f32/XLA policy + float fetch.  Why: a
+    # RANDOM-INIT tiny model's decode path attenuates even a wholesale z_p
+    # swap to ~1e-5 output delta (small-init convs + tanh) — below both
+    # bf16-decode ulp and 1 PCM LSB, so the TPU tier's default serving
+    # policy would quantize distinct speakers bit-identical and the
+    # assertions could not see the (correct) conditioning.  The TPU policy's
+    # numerics are covered by test_serving_policy + the kernel parity
+    # tests; the trained-checkpoint closure (bench_trained_serving) proves
+    # real input sensitivity on the flagship model.
+    from vispeech_tpu.ops.policy import FLOAT32_XLA
+
+    return TTSEngine(cfg, variables, policy=FLOAT32_XLA,
+                     transfer_int16=False)
 
 
 class TestEngine:

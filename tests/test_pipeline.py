@@ -11,6 +11,13 @@ from jax.sharding import Mesh
 from vispeech_tpu.config import config_from_dict
 from vispeech_tpu.models import Synthesizer
 
+# the parallelism tests exercise an 8-way virtual CPU mesh (conftest); the
+# single-chip TPU tier cannot host them — multi-chip coverage stays on the
+# CPU tier + the driver's dryrun_multichip
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh")
+
+
 TINY = {
     "train": {"segment_size": 256},
     "data": {

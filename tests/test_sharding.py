@@ -15,6 +15,13 @@ from vispeech_tpu.config import config_from_dict
 from vispeech_tpu.models import Synthesizer
 from vispeech_tpu.parallel import make_mesh, param_shardings
 
+# the parallelism tests exercise an 8-way virtual CPU mesh (conftest); the
+# single-chip TPU tier cannot host them — multi-chip coverage stays on the
+# CPU tier + the driver's dryrun_multichip
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh")
+
+
 
 @pytest.fixture(scope="module")
 def params():
