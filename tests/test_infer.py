@@ -342,7 +342,12 @@ class TestInt16Transfer:
     def test_int16_matches_f32_within_quantization(self, engine):
         from vispeech_tpu.infer.pipeline import TTSEngine
 
-        eng16 = TTSEngine(engine.cfg, engine.variables, transfer_int16=True)
+        from vispeech_tpu.ops.policy import FLOAT32_XLA
+
+        # same numerics policy as the reference engine: this test isolates
+        # the int16 TRANSFER quantization, not the serving-policy dtype
+        eng16 = TTSEngine(engine.cfg, engine.variables, policy=FLOAT32_XLA,
+                          transfer_int16=True)
         ref = engine.synthesize(text="[P]ni2 hao3[P]", seed=1)
         out = eng16.synthesize(text="[P]ni2 hao3[P]", seed=1)
         assert out["audio_int16"].dtype == np.int16
@@ -357,7 +362,12 @@ class TestInt16Transfer:
     def test_batch_int16_pipeline_matches(self, engine):
         from vispeech_tpu.infer.pipeline import TTSEngine
 
-        eng16 = TTSEngine(engine.cfg, engine.variables, transfer_int16=True)
+        from vispeech_tpu.ops.policy import FLOAT32_XLA
+
+        # same numerics policy as the reference engine: this test isolates
+        # the int16 TRANSFER quantization, not the serving-policy dtype
+        eng16 = TTSEngine(engine.cfg, engine.variables, policy=FLOAT32_XLA,
+                          transfer_int16=True)
         texts = ["[P]ni2 hao3[P]", "[P]ni2 hao3 ma5[P]", "[P]hao3[P]"]
         ref = engine.synthesize_batch(texts=texts, seed=3)
         outs = eng16.synthesize_batch(texts=texts, seed=3)

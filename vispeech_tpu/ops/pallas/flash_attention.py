@@ -57,13 +57,13 @@ def _attention_kernel(
     t_total = k.shape[0]
 
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32
     )                                         # [BQ, T]
 
     # banded relative-key bias: qR = q·rel_kᵀ → [BQ, 2w+1]
     relk = relk_ref[0]                        # [W, d]
     q_rel = jax.lax.dot_general(
-        q, relk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, relk, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32
     )                                         # [BQ, W]
     row = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_total), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_total), 1)
@@ -80,7 +80,7 @@ def _attention_kernel(
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # [BQ, T]
 
     out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, v, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32
     )                                         # [BQ, d]
 
     # relative-value correction: out[t] += Σ_δ p[t, t+δ] · rel_v[δ+w]

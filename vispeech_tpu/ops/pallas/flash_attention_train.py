@@ -87,13 +87,13 @@ def _fwd_kernel(
 
     scores = jax.lax.dot_general(
         qc, k.astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32
+        precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32
     )                                         # [BQ, T]
 
     relk = relk_ref[0]                        # [W, d]
     q_rel = jax.lax.dot_general(
         qc, relk.astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32
+        precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32
     )                                         # [BQ, W]
     row = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_total), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_total), 1)
@@ -117,7 +117,7 @@ def _fwd_kernel(
 
     out = jax.lax.dot_general(
         p.astype(cd), v.astype(cd), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32
+        precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32
     )                                         # [BQ, d]
 
     relv = relv_ref[0]                        # [W, d]
@@ -175,11 +175,11 @@ def _bwd_kernel(
         qc = qs.astype(cd)
         scores = jax.lax.dot_general(
             qc, k.astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )                                                        # [BQ, T]
         q_rel = jax.lax.dot_general(
             qc, relk.astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )                                                        # [BQ, W]
         diff = col - (row + qi * block_q)
         for d_off in range(-window, window + 1):
@@ -200,11 +200,11 @@ def _bwd_kernel(
         doc = do.astype(cd)
         dpd = jax.lax.dot_general(
             doc, v.astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )                                                        # [BQ, T]
         do_relv = jax.lax.dot_general(
             doc, relv.astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )                                                        # [BQ, W]
         # drel_v[δ] += Σ_t pd[t, t+δ] · dO[t] — all W diagonals in one matmul
         pd_diags = []
@@ -214,13 +214,13 @@ def _bwd_kernel(
             pd_diags.append(jnp.sum(pd * band, axis=-1))         # [BQ]
         drelv_acc = drelv_acc + jax.lax.dot_general(
             jnp.stack(pd_diags, 0).astype(cd), doc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )                                                        # [W, d]
 
         # dv += pdᵀ · dO
         dv_acc = dv_acc + jax.lax.dot_general(
             pd.astype(cd), doc, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )
 
         dp = dpd * keep if rate > 0.0 else dpd
@@ -232,7 +232,7 @@ def _bwd_kernel(
         dsc = ds.astype(cd)
         dqs = jax.lax.dot_general(
             dsc, k.astype(cd), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )                                                        # [BQ, d]
         ds_diags = []
         for d_off in range(-window, window + 1):
@@ -243,7 +243,7 @@ def _bwd_kernel(
         # drel_k[δ] += Σ_t ds[t, t+δ] · q̂[t]
         drelk_acc = drelk_acc + jax.lax.dot_general(
             jnp.stack(ds_diags, 0).astype(cd), qc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )                                                        # [W, d]
 
         dq_ref[0, pl.ds(qi * block_q, block_q), :] = dqs * scale
@@ -251,7 +251,7 @@ def _bwd_kernel(
         # dk += dsᵀ · q̂
         dk_acc = dk_acc + jax.lax.dot_general(
             dsc, qc, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )
         return dk_acc, dv_acc, drelk_acc, drelv_acc
 

@@ -100,7 +100,7 @@ def _conv_cm(
         w2d = w_ref_slice.reshape(k * channels, channels)  # [(tap,cin), cout]
         y = jax.lax.dot_general(
             w2d, cols, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )  # [C_out, Tw]
     else:
         y = None
@@ -109,7 +109,7 @@ def _conv_cm(
                 w_ref_slice[tap],
                 _roll_lanes(h, (tap - c) * d, interpret).astype(dtype),
                 (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
             )
             y = part if y is None else y + part
     return y + bias
@@ -282,7 +282,7 @@ def _conv_offsets(h, w_ref, bias, offsets, dtype, interpret):
             w_ref[i],
             _roll_lanes(h, off, interpret).astype(dtype),
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )
         y = part if y is None else y + part
     return y + bias

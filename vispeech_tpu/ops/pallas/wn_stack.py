@@ -78,12 +78,12 @@ def _wn_kernel(
         acts = acts + jax.lax.dot_general(
             xs, w_in_ref[0, tap],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )
     z = jnp.tanh(acts[:, :C]) * jax.nn.sigmoid(acts[:, C:])
     rs = jax.lax.dot_general(
         z, w_rs_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
     ) + b_rs_ref[0, 0][None, :]
     m = mask_ref[0, :, 0][:, None]
 

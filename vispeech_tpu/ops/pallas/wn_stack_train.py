@@ -85,12 +85,12 @@ def _fwd_kernel(
         acts = acts + jax.lax.dot_general(
             xs.astype(cd), w_in_ref[0, tap].astype(cd),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )
     z = jnp.tanh(acts[:, :C]) * jax.nn.sigmoid(acts[:, C:])
     rs = jax.lax.dot_general(
         z.astype(cd), w_rs_ref[0].astype(cd), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
     ) + b_rs_ref[0, 0][None, :]
     m = mask_ref[0, :, 0][:, None]
 
@@ -137,7 +137,7 @@ def _bwd_kernel(
         acts = acts + jax.lax.dot_general(
             xsh.astype(cd), w_in_ref[0, tap].astype(cd),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )
     t_ = jnp.tanh(acts[:, :C])
     s_ = jax.nn.sigmoid(acts[:, C:])
@@ -153,13 +153,13 @@ def _bwd_kernel(
 
     dwrs_ref[0, 0] = jax.lax.dot_general(
         z.astype(cd), d_rs.astype(cd), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
     )
     dbrs_ref[0, 0, 0] = jnp.sum(d_rs, axis=0)
 
     dz = jax.lax.dot_general(
         d_rs.astype(cd), w_rs_ref[0].astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
     )
     da1 = dz * s_ * (1.0 - t_ * t_)
     da2 = dz * t_ * s_ * (1.0 - s_)
@@ -174,11 +174,11 @@ def _bwd_kernel(
         xsh = _shift_rows(x_l, s, T, C)
         dwin_ref[0, 0, tap] = jax.lax.dot_general(
             xsh.astype(cd), dacts_c, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )
         contrib = jax.lax.dot_general(
             dacts_c, w_in_ref[0, tap].astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32,
         )
         dx_conv = dx_conv + _shift_rows(contrib, -s, T, C)
 
