@@ -100,24 +100,30 @@ def bench_e2e(cfg, on_tpu: bool):
 
         peaks = chip_peaks()
         if peaks is not None:
-            xla_model = Synthesizer.for_serving(
+            xla_model = Synthesizer.from_config(
                 cfg, N_SYMBOLS,
                 policy=ServingPolicy(decode_dtype="bfloat16",
                                      fused_decode=False, attn_pallas=False),
             )
 
+            # cost analysis at B=1 (FLOPs/bytes are linear in batch; the
+            # full-batch XLA-variant compile is heavy on the tunneled
+            # compile helper), scaled to the measured batch
+            ph1, lens1, sid1 = ph[:1], lens[:1], sid[:1]
+
             def one_infer(variables):
                 return xla_model.apply(
-                    variables, ph, lens, T, sid=sid, noise_scale=0.667,
+                    variables, ph1, lens1, T, sid=sid1, noise_scale=0.667,
                     method=Synthesizer.infer,
                     rngs={"sample": jax.random.PRNGKey(2)},
                 )[0]
 
             cost = xla_cost(one_infer, variables)  # compile-only
             per_iter_ms = dt / n_iters * 1e3
-            mfu = roofline_row(cost["flops"], cost["bytes"], per_iter_ms,
-                               dtype="bf16", peaks=peaks)
+            mfu = roofline_row(cost["flops"] * B, cost["bytes"] * B,
+                               per_iter_ms, dtype="bf16", peaks=peaks)
             mfu["chip"] = peaks["chip"]
+            mfu["note"] = "flops/bytes from XLA cost analysis at B=1, x B"
     except Exception:
         import traceback
 
